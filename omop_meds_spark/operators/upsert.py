@@ -1,0 +1,118 @@
+"""MERGE / last-writer-wins upsert kernel.
+
+The reference's deterministic dedup — ``sort(by=...).group_by(key).first()``
+(reference: src/OMOP_MEDS/pre_meds_utils.py:299-303) — is the batch analogue
+of a CDC upsert: one surviving row per key, chosen by a total order. Spark's
+``groupBy().agg(first())`` is NOT order-deterministic, so the kernel uses
+``max_by`` over a (seq_no, event_id) struct ordering:
+
+* ``max_by`` is a true aggregate: partial (map-side) combine, no sort, no
+  window buffering — at 100 TB this is one shuffle of pre-combined partials,
+  strictly cheaper than ``row_number() OVER`` (which shuffles every row and
+  sorts each partition).
+* Skew: a hot key (hot repo) is handled by an explicit two-phase salted
+  aggregation — phase 1 combines within (key, salt), phase 2 reduces the
+  ≤ n_salts survivors per key. With map-side combine this is usually
+  redundant for max_by, but the north rule requires explicit salting and it
+  protects the pathological case (one key dominating a whole stage).
+
+Delete handling: tombstones are *kept in state* (op='D' rows retain their
+seq_no). This makes the final state independent of how events are split
+into batches — an update with seq 10 arriving after a delete with seq 20
+loses to the tombstone regardless of batch boundaries. ``read_live``
+filters tombstones at query time; state size stays bounded by key count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_SALTS = 16
+
+
+def dedup_events(df: DataFrame, event_id_col: str = "event_id") -> DataFrame:
+    """Drop redelivered events (exactly-once ingest is dedup on event_id).
+
+    At-least-once CDC redelivery re-sends the identical payload, so any
+    surviving copy is correct; ``dropDuplicates`` avoids a sort entirely.
+    """
+    return df.dropDuplicates([event_id_col])
+
+
+def _winner_struct(df: DataFrame, key_cols: list[str], seq_col: str,
+                   tiebreak_col: str) -> tuple[F.Column, F.Column]:
+    payload_cols = [c for c in df.columns if c not in key_cols]
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    order = F.struct(F.col(seq_col), F.col(tiebreak_col))
+    return payload, order
+
+
+def last_writer_wins(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq_no",
+    tiebreak_col: str = "event_id",
+    n_salts: int = DEFAULT_N_SALTS,
+    salted: bool = True,
+) -> DataFrame:
+    """One row per key: the event with the greatest (seq_no, tiebreak).
+
+    Returns the full payload of the winning event (all non-key columns),
+    keys included. Aggregation-based (max_by), optionally two-phase salted.
+    """
+    payload, order = _winner_struct(df, key_cols, seq_col, tiebreak_col)
+    if salted:
+        # phase 1: pre-reduce within (key, salt) — salt derives from the
+        # event id so a hot key's events spread over n_salts reducers.
+        salt = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(n_salts))
+        phase1 = (
+            df.groupBy(*key_cols, salt.alias("__salt"))
+            .agg(F.max_by(F.struct(payload.alias("p"), order.alias("o")), order).alias("w"))
+        )
+        final = (
+            phase1.groupBy(*key_cols)
+            .agg(F.max_by(F.col("w.p"), F.col("w.o")).alias("w"))
+        )
+    else:
+        final = df.groupBy(*key_cols).agg(F.max_by(payload, order).alias("w"))
+    return final.select(*key_cols, "w.*")
+
+
+def last_writer_wins_window(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq_no",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Window-based reference implementation (row_number desc == 1).
+
+    Used in tests to cross-check the aggregation kernel; the agg variant is
+    the production path (cheaper shuffle, map-side combine).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc(), F.col(tiebreak_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_state(
+    state: DataFrame | None,
+    winners: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq_no",
+    tiebreak_col: str = "event_id",
+    n_salts: int = DEFAULT_N_SALTS,
+) -> DataFrame:
+    """MERGE batch winners into existing state (both sides already one row
+    per key) — union + LWW. Tombstones participate and survive."""
+    if state is None:
+        return winners
+    unioned = state.unionByName(winners, allowMissingColumns=True)
+    # ≤ 2 rows per key here; salting would only add a shuffle.
+    return last_writer_wins(unioned, key_cols, seq_col, tiebreak_col,
+                            n_salts=n_salts, salted=False)

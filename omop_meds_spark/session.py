@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs on ``local[N]``; the same configuration keys are the
+ones you would set on a real cluster (AQE, shuffle partitions, Arrow). The
+engine itself never assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "omop_meds_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores=None`` uses ``local[*]``. ``shuffle_partitions`` defaults to the
+    core count (local mode: more would only add scheduling overhead; on a
+    real cluster you would size this to 2-3x total executor cores, or let
+    AQE coalesce).
+    """
+    if cores is None:
+        master = "local[*]"
+        shuffle = shuffle_partitions or os.cpu_count() or 8
+    else:
+        master = f"local[{cores}]"
+        shuffle = shuffle_partitions or cores
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

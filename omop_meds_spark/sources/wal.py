@@ -1,0 +1,83 @@
+"""Simulated binlog/WAL micro-batch source.
+
+Reads a directory of parquet WAL files (the simulated binlog tail) in
+deterministic lexicographic order (reference sorts shard file lists for
+replay determinism, src/OMOP_MEDS/pre_meds_data_loader.py:89,270,455) and
+groups them into micro-batches — the Spark recast of the reference's
+``ShardedTableDataLoader.iter_table_batches`` per_shard / by_shards / by_rows
+planner (pre_meds_data_loader.py:192-319).
+
+Batch offsets are (start_file, end_file) ranges; a batch is identified by
+its index. Exactly-once replay lives in the SnapshotTable commit log: a
+batch_id that is already committed is skipped on resume.
+
+Schema drift across files is expected (that's the point): each file is read
+with its own footer schema and aligned through the SchemaRegistry before the
+batch is unioned — the multi-file analogue of the reference's
+``vertical_relaxed`` concat (pre_meds_data_loader.py:107,112,337).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.align import SchemaRegistry
+
+
+@dataclass(frozen=True)
+class WalBatch:
+    batch_id: int
+    files: tuple[str, ...]
+
+
+class WalReader:
+    def __init__(self, wal_dir: str | Path, files_per_batch: int = 4):
+        self.wal_dir = Path(wal_dir)
+        self.files_per_batch = files_per_batch
+
+    def list_files(self) -> list[Path]:
+        return sorted(self.wal_dir.glob("*.parquet"))
+
+    def plan_batches(self) -> list[WalBatch]:
+        files = [str(p) for p in self.list_files()]
+        return [
+            WalBatch(batch_id=i, files=tuple(files[o : o + self.files_per_batch]))
+            for i, o in enumerate(range(0, len(files), self.files_per_batch))
+        ]
+
+    @staticmethod
+    def footer_schemas(batch: WalBatch) -> list["pq.ParquetSchema"]:
+        """Footer-only schema collection — zero data read (reference
+        ``collect_shard_schemas``, pre_meds_data_loader.py:375-379)."""
+        return [pq.read_schema(f) for f in batch.files]
+
+    def read_batch(
+        self, spark: SparkSession, batch: WalBatch, registry: SchemaRegistry
+    ) -> DataFrame:
+        """Read one micro-batch, evolving the registry and aligning every
+        file to the (possibly just-widened) target schema.
+
+        Registry evolution is driven purely by parquet footers (no data
+        read); per-file reads then use the footer schema explicitly —
+        inference never runs (reference: infer_schema=False throughout).
+        """
+        from pyspark.sql.types import StructType
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        file_schemas: dict[str, StructType] = {}
+        for f in batch.files:
+            arrow_schema = pq.read_schema(f)
+            spark_schema = from_arrow_schema(arrow_schema)
+            file_schemas[f] = spark_schema
+            registry.evolve(spark_schema)
+
+        parts = [
+            registry.align(spark.read.schema(file_schemas[f]).parquet(f))
+            for f in batch.files
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)

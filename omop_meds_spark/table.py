@@ -1,0 +1,198 @@
+"""Snapshot-log table format: parquet data files + JSON commit log.
+
+An Iceberg-style (minimal) transactional table, implemented from scratch
+because this sandbox's pyspark 4.1.2 ships neither Iceberg nor Delta jars —
+and because the north rule makes the commit protocol itself a deliverable.
+
+Layout::
+
+    {root}/
+      data/b{batch:06d}/bucket={k}/part-*.parquet   # immutable data files
+      _log/v{version:08d}.json                      # snapshot manifests
+
+A manifest is the full state of the table at a version:
+
+* ``version``        — monotonically increasing snapshot id
+* ``batch_id``       — the micro-batch whose commit produced it
+* ``files``          — {bucket(str): [relative parquet paths]}
+* ``schema``         — target schema (json) at this version (schema registry)
+* ``committed``      — all batch_ids applied so far (exactly-once idempotence)
+* ``watermark_seq``  — max seq_no applied (resume offset)
+* ``lineage``        — per-batch provenance: source files, seq range, counts
+* ``metrics``        — per-batch wall time / events/sec
+
+Commit protocol (single-writer): write the manifest to ``_log/.tmp.*`` then
+``os.rename`` to its final versioned name — atomic on POSIX. Readers list
+``_log`` and take the max version; a crashed writer leaves only a tmp file,
+which is invisible. Re-applying an already-committed ``batch_id`` is a no-op
+(checked before any data write).
+
+This replaces the reference's staging-dir + ``Path.replace`` publish
+(reference: src/OMOP_MEDS/pre_meds.py:334-383) and its ``.done``/resume
+markers (pre_meds.py:74-79,176-189,315-317) with a single versioned log.
+
+Scale notes (100 TB design):
+
+* Data is hash-bucketed by key (``pmod(xxhash64(repo, path), n_buckets)``).
+  A micro-batch only rewrites the buckets it touches (copy-on-write MERGE),
+  so per-batch write amplification is bounded by batch key-spread, not table
+  size. At 100 TB you raise ``n_buckets`` (e.g. 16k) so a bucket stays a few
+  GB; the manifest is then delta-encoded per commit rather than full listing
+  — full listing is kept here for simplicity and is noted as the one
+  sandbox-scale simplification.
+* The manifest drives partition pruning: reading N buckets touches exactly
+  those files; no directory listing of the whole table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__bucket"
+
+
+def bucket_expr(key_cols: list[str], n_buckets: int) -> F.Column:
+    """Deterministic hash bucket of the key — xxhash64 is JVM-side, stable."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+class SnapshotTable:
+    """Single-writer transactional parquet table with a JSON snapshot log."""
+
+    def __init__(self, root: str | Path, key_cols: list[str], n_buckets: int = 32):
+        self.root = Path(root)
+        self.key_cols = list(key_cols)
+        self.n_buckets = n_buckets
+        (self.root / "_log").mkdir(parents=True, exist_ok=True)
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+
+    # ---------------------------------------------------------------- log
+    def _manifests(self) -> list[Path]:
+        return sorted((self.root / "_log").glob("v*.json"))
+
+    def latest(self) -> dict | None:
+        ms = self._manifests()
+        if not ms:
+            return None
+        return json.loads(ms[-1].read_text())
+
+    @property
+    def version(self) -> int:
+        m = self.latest()
+        return -1 if m is None else m["version"]
+
+    def committed_batches(self) -> set[int]:
+        m = self.latest()
+        return set() if m is None else set(m["committed"])
+
+    def watermark(self) -> int:
+        m = self.latest()
+        return -1 if m is None else m.get("watermark_seq", -1)
+
+    # --------------------------------------------------------------- read
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame | None:
+        """Read current state (optionally only the given buckets — manifest-
+        driven pruning, no directory listing)."""
+        m = self.latest()
+        if m is None:
+            return None
+        files: list[str] = []
+        for b, fs in m["files"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(str(self.root / f) for f in fs)
+        if not files:
+            return None
+        # Direct-file reads skip hive partition discovery, so the bucket
+        # column is re-derived from the keys (same deterministic hash).
+        return spark.read.parquet(*files).withColumn(
+            BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets)
+        )
+
+    def read_live(self, spark: SparkSession, buckets: list[int] | None = None,
+                  op_col: str = "op") -> DataFrame | None:
+        """Current state minus delete tombstones (the user-facing table)."""
+        df = self.read(spark, buckets)
+        return None if df is None else df.filter(F.col(op_col) != "D").drop(BUCKET_COL)
+
+    # -------------------------------------------------------------- write
+    def commit_merged(
+        self,
+        merged: DataFrame,
+        batch_id: int,
+        touched_buckets: list[int],
+        watermark_seq: int,
+        lineage: dict | None = None,
+        metrics: dict | None = None,
+        schema_json: str | None = None,
+    ) -> bool:
+        """Write ``merged`` (state rows for the touched buckets, including
+        the ``__bucket`` column) and atomically publish a new snapshot.
+
+        Returns False (no-op) if ``batch_id`` was already committed.
+        """
+        if batch_id in self.committed_batches():
+            return False
+
+        prev = self.latest()
+        staging = self.root / "data" / f"b{batch_id:06d}"
+        # Write one hive partition per touched bucket. repartition by the
+        # bucket column so each bucket is written by tasks that own it; AQE
+        # coalesces small ones.
+        (
+            merged.repartition(max(len(touched_buckets), 1), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(str(staging))
+        )
+
+        # Collect the new file listing for touched buckets.
+        new_files: dict[str, list[str]] = {str(b): [] for b in touched_buckets}
+        for b in touched_buckets:
+            bdir = staging / f"{BUCKET_COL}={b}"
+            if bdir.exists():
+                new_files[str(b)] = sorted(
+                    str(p.relative_to(self.root)) for p in bdir.glob("*.parquet")
+                )
+
+        files = dict(prev["files"]) if prev else {}
+        for b in touched_buckets:
+            files[str(b)] = new_files[str(b)]
+        files = {b: fs for b, fs in files.items() if fs}
+
+        committed = sorted((set(prev["committed"]) if prev else set()) | {batch_id})
+        lineage_all = dict(prev.get("lineage", {})) if prev else {}
+        lineage_all[str(batch_id)] = lineage or {}
+        manifest = {
+            "version": (prev["version"] + 1) if prev else 0,
+            "batch_id": batch_id,
+            "files": files,
+            "schema": schema_json or (prev.get("schema") if prev else None),
+            "committed": committed,
+            "watermark_seq": max(watermark_seq, prev.get("watermark_seq", -1) if prev else -1),
+            "lineage": lineage_all,
+            "metrics": {**(prev.get("metrics", {}) if prev else {}),
+                        str(batch_id): metrics or {}},
+            "committed_at": time.time(),
+        }
+        self._atomic_write_manifest(manifest)
+        return True
+
+    def _atomic_write_manifest(self, manifest: dict) -> None:
+        log_dir = self.root / "_log"
+        fd, tmp = tempfile.mkstemp(prefix=".tmp.", dir=log_dir)
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = log_dir / f"v{manifest['version']:08d}.json"
+        if final.exists():  # lost race / duplicate version — abort, keep log consistent
+            os.unlink(tmp)
+            raise RuntimeError(f"snapshot {final} already exists (concurrent writer?)")
+        os.rename(tmp, final)

@@ -1,0 +1,80 @@
+"""End-to-end CDC replay: generated WAL → engine → fingerprint == oracle.
+
+The analogue of the reference's offline e2e demo test
+(reference: tests/e2e_demo_test.py:16-87), with the stronger final-state
+sha256-fingerprint equality required by the north rule.
+"""
+
+from __future__ import annotations
+
+from omop_meds_spark import verify
+from omop_meds_spark.runner import CDCRunner
+from omop_meds_spark.sources.gen import generate_wal, replay_oracle
+
+FP_COLS = ["repo", "path", "commit", "lang", "size_bytes", "content_sha256", "seq_no"]
+
+
+def _oracle_fp(wal_dir):
+    pdf = replay_oracle(wal_dir)
+    pdf["size_bytes"] = pdf["size_bytes"].astype("Int64")
+    return verify.pandas_fingerprint(pdf, FP_COLS)
+
+
+def test_full_replay_matches_oracle(spark, tmpdir_path):
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=8000, n_repos=15, paths_per_repo=40, n_files=8, seed=11)
+    r = CDCRunner(spark, wal, f"{tmpdir_path}/table", n_buckets=8, files_per_batch=3)
+    metrics = r.run()
+    assert len(metrics) == 3  # ceil(8/3)
+    assert all(m["committed"] for m in metrics)
+    fp = verify.state_fingerprint(r.final_state(), FP_COLS)
+    assert fp == _oracle_fp(wal)
+
+
+def test_resume_mid_stream(spark, tmpdir_path):
+    """Kill after 2 batches; a fresh runner resumes from the commit log and
+    converges to the identical final state (exactly-once)."""
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=6000, n_repos=10, paths_per_repo=30, n_files=6, seed=13)
+
+    r1 = CDCRunner(spark, wal, f"{tmpdir_path}/table", n_buckets=8, files_per_batch=2)
+    batches = r1.reader.plan_batches()
+    for b in batches[:2]:
+        r1.apply_batch(b)
+    assert r1.table.committed_batches() == {0, 1}
+
+    # new runner (fresh registry, fresh process in spirit) resumes
+    r2 = CDCRunner(spark, wal, f"{tmpdir_path}/table", n_buckets=8, files_per_batch=2)
+    applied = r2.run()
+    assert [m["batch_id"] for m in applied] == [2]
+
+    fp = verify.state_fingerprint(r2.final_state(), FP_COLS)
+    assert fp == _oracle_fp(wal)
+
+
+def test_replay_whole_wal_twice_is_noop(spark, tmpdir_path):
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=3000, n_repos=8, paths_per_repo=20, n_files=4, seed=17)
+    r = CDCRunner(spark, wal, f"{tmpdir_path}/table", n_buckets=8, files_per_batch=2)
+    r.run()
+    v = r.table.version
+    fp1 = verify.state_fingerprint(r.final_state(), FP_COLS)
+    again = r.run()
+    assert again == []  # every batch skipped
+    assert r.table.version == v
+    assert verify.state_fingerprint(r.final_state(), FP_COLS) == fp1
+
+
+def test_schema_evolution_recorded(spark, tmpdir_path):
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=5000, n_repos=8, paths_per_repo=20, n_files=10, seed=19)
+    r = CDCRunner(spark, wal, f"{tmpdir_path}/table", n_buckets=8, files_per_batch=2)
+    r.run()
+    # registry saw v0 -> +size_bytes -> (rename handled, no new col)
+    assert r.registry.version >= 1
+    assert "size_bytes" in [f.name for f in r.registry.target.fields]
+    assert "language" not in [f.name for f in r.registry.target.fields]
+    # lineage carries per-batch schema versions, monotonically increasing
+    m = r.table.latest()
+    versions = [m["lineage"][str(b)]["schema_version"] for b in sorted(map(int, m["lineage"]))]
+    assert versions == sorted(versions)
