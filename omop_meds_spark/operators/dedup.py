@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed as DataFrame ops over JVM-side functions (no
+Python in the hot path), each designed so an exact DuckDB oracle exists:
+
+* **exact** — hash-groupBy on a normalized fingerprint; keeps the lowest id
+  per group (deterministic canonical representative).
+* **MinHash + LSH** — word-shingle → k minhashes → b bands → bucket join.
+  The hash is the cross-engine ``md5_long`` (first 15 hex chars of md5 as
+  int64), so signatures are bit-identical in DuckDB.
+* **SimHash** — 16-bit sign-aggregated token-hash fingerprint (Column
+  algebra: one token-hash array + 16 cheap aggregates).
+* **n-gram Jaccard** — exact similarity on candidate pairs (from LSH bands
+  or a blocking key): |intersect| / |union| of distinct token sets.
+
+Scale notes: exact dedup is one shuffle on the fingerprint. MinHash LSH is
+a map-side signature projection + explode(bands) + self-equi-join on
+(band, hash) — the join key is the bucket, so only colliding docs shuffle
+together; at 100 TB you'd additionally salt giant buckets (boilerplate
+clusters) and cap bucket size; the bucket-size cap is exposed as a knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import ALNUM_TOKEN_RX, fingerprint, md5_long
+
+DEFAULT_K = 8  # minhashes
+DEFAULT_BANDS = 4  # LSH bands (k/b rows per band)
+SHINGLE_N = 3
+
+
+def tokens_col(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(ALNUM_TOKEN_RX), F.lit(1))
+
+
+def distinct_tokens_col(col) -> F.Column:
+    return F.array_distinct(tokens_col(col))
+
+
+# --------------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per normalized-content fingerprint; lowest id survives.
+    Returns (fingerprint, keep_id, n_dups)."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# ------------------------------------------------------------------- minhash
+def shingles_col(col, n: int = SHINGLE_N) -> F.Column:
+    """Word n-gram shingles; documents shorter than n words shingle to the
+    full token join (so nothing hashes to an empty set)."""
+    toks = tokens_col(col)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, ngrams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(col, k: int = DEFAULT_K, n: int = SHINGLE_N) -> F.Column:
+    """Array of k minhashes; seed j is prefixed into the hashed string so
+    the k hash functions are independent (and reproducible in SQL)."""
+    sh = shingles_col(col, n)
+
+    def mh(j: int) -> F.Column:
+        seed = f"{j}|"  # single-arg lambda: a 2-arg lambda would receive the
+        # array index as its second argument (pyspark transform semantics)
+        return F.array_min(F.transform(sh, lambda s: md5_long(F.concat(F.lit(seed), s))))
+
+    return F.array(*[mh(j) for j in range(k)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) whose signatures collide in at
+    least one LSH band. ``max_bucket`` drops degenerate buckets (e.g. empty
+    documents) that would explode quadratically at scale."""
+    rows_per_band = k // bands
+    sig = df.select(F.col(id_col).alias("id"), minhash_signature(text_col, k).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        md5_long(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    # cap pathological buckets before the quadratic self-join
+    counts = banded.groupBy("band", "bh").agg(F.count("*").alias("bucket_n"))
+    banded = banded.join(
+        F.broadcast(counts.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")),
+        ["band", "bh"],
+        "left_semi",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# ------------------------------------------------------------------- simhash
+SIMHASH_BITS = 16
+
+
+def simhash_col(col, bits: int = SIMHASH_BITS) -> F.Column:
+    """Sign-aggregated token-hash fingerprint: bit b is set iff the sum of
+    (+1/-1 per token by bit b of its hash) is positive."""
+    hashes = F.transform(F.array_distinct(tokens_col(col)), md5_long)
+
+    def bit_contrib(b: int) -> F.Column:
+        def signed(h: F.Column) -> F.Column:
+            return F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+
+        return F.aggregate(F.transform(hashes, signed), F.lit(0), lambda acc, x: acc + x)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(bit_contrib(b) > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Documents sharing an identical simhash (strong near-dup signal at 16
+    bits only for very similar docs). Returns (simhash, n_docs, doc_ids)."""
+    return (
+        df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ------------------------------------------------------------------- jaccard
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over pairs sharing a blocking key.
+    Returns (id_a, id_b, jaccard) above threshold."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        distinct_tokens_col(text_col).alias("toks"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

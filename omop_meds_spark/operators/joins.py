@@ -1,0 +1,126 @@
+"""Join vocabulary (reference J1-J9) as reusable DataFrame transforms.
+
+The reference's joins are all equi-joins on integer keys with small
+dimension sides (concept, care_site, patient link) — broadcast candidates
+(reference: src/OMOP_MEDS/pre_meds_utils.py:224-441, pre_meds.py:252-283).
+The factory style (config-parameterized closures returning
+``DataFrame -> DataFrame``) mirrors ``join_concept``
+(pre_meds_utils.py:318-463).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.codes import determine_concept_id, vocab_default_fill, zero_scrub
+
+
+def semi_join(fact: DataFrame, cohort: DataFrame, key: str) -> DataFrame:
+    """J1/J3: keep fact rows whose key appears in the cohort (broadcast —
+    the cohort/patient-link side is small by construction)."""
+    return fact.join(F.broadcast(cohort.select(key).distinct()), key, "left_semi")
+
+
+def anti_join_count(fact: DataFrame, cohort: DataFrame, key: str) -> int:
+    """J2: diagnostic — how many fact keys have no cohort match."""
+    return fact.join(F.broadcast(cohort.select(key).distinct()), key, "left_anti").count()
+
+
+def join_concept(
+    table_name: str,
+    concept_ref_cols: list[str],
+    prefer_source: bool = False,
+    output_cols: list[str] | None = None,
+):
+    """J4/J5 + F9/F10 + P5: the reference's central operator, as a factory.
+
+    Returns ``fn(df, concept_df, cohort_df) -> DataFrame`` that:
+    1. semi-joins the fact table against the cohort (subject gate),
+    2. zero-scrubs the concept reference columns (0 = "no concept"),
+    3. left-joins the (broadcast) concept dimension once per reference
+       column with suffixed output names,
+    4. resolves the preferred (vocabulary, code) pair,
+    5. projects a stable, duplicate-free column order.
+
+    Reference: pre_meds_utils.py:318-463; idempotence across calls tested
+    like tests/test_join_concept_batch_safety.py.
+    """
+    ref_cols = list(concept_ref_cols)
+    base_output = list(output_cols) if output_cols else None
+
+    def fn(df: DataFrame, concept: DataFrame, cohort: DataFrame | None,
+           subject_col: str = "subject_id") -> DataFrame:
+        if cohort is not None:
+            df = semi_join(df, cohort, subject_col)
+        for rc in ref_cols:
+            df = df.withColumn(rc, zero_scrub(rc))
+        joined = df
+        suffixes = []
+        for rc in ref_cols:
+            # strip the table-name prefix for the suffix, as the reference
+            # does (measurement_source_concept_id -> source_concept_id)
+            clean = rc.removeprefix(f"{table_name}_")
+            suffixes.append(clean)
+            cdim = concept.select(
+                F.col("concept_id").alias(f"__cid_{clean}"),
+                F.col("concept_name").alias(f"concept_name_{clean}"),
+                F.col("vocabulary_id").alias(f"vocabulary_id_{clean}"),
+                F.col("concept_code").alias(f"concept_code_{clean}"),
+            )
+            joined = joined.join(
+                F.broadcast(cdim), joined[rc] == cdim[f"__cid_{clean}"], "left"
+            ).drop(f"__cid_{clean}")
+
+        primary, source = suffixes[0], (suffixes[1] if len(suffixes) > 1 else suffixes[0])
+        fallback = F.concat_ws(
+            ":", F.lit(ref_cols[0]), F.concat_ws(",", *[F.col(c).cast("string") for c in ref_cols])
+        )
+        vocab, code = determine_concept_id(
+            mapped_vocab=F.col(f"vocabulary_id_{primary}"),
+            mapped_code=F.col(f"concept_code_{primary}"),
+            source_vocab=F.col(f"vocabulary_id_{source}"),
+            source_code=F.col(f"concept_code_{source}"),
+            fallback=fallback,
+            prefer_source=prefer_source,
+        )
+        joined = joined.withColumn(
+            "preferred_vocabulary_name", vocab_default_fill(vocab, table_name)
+        ).withColumn("preferred_code", code)
+
+        # stable-order duplicate-free projection (reference P1)
+        ordered = stable_projection(
+            joined.columns,
+            (base_output or []) + ref_cols + ["preferred_vocabulary_name", "preferred_code"],
+            always=[subject_col],
+        )
+        return joined.select(*ordered)
+
+    return fn
+
+
+def stable_projection(existing: list[str], wanted: list[str], always: list[str] = ()) -> list[str]:
+    """P1: ordered, de-duplicated projection list, skipping absent columns
+    (reference: pre_meds_utils.py:443-461)."""
+    out: list[str] = []
+    for c in list(always) + list(wanted):
+        if c in existing and c not in out:
+            out.append(c)
+    return out
+
+
+def join_parent_codes(concept: DataFrame, concept_relationship: DataFrame) -> DataFrame:
+    """J7: build parent_codes from 'Maps to' relationships
+    (reference: pre_meds_utils.py:601-616)."""
+    rel = concept_relationship.filter(F.col("relationship_id") == "Maps to")
+    target = concept.select(
+        F.col("concept_id").alias("concept_id_2"),
+        F.concat_ws("//", F.col("vocabulary_id"), F.col("concept_code")).alias("parent_code"),
+    )
+    mapped = rel.join(F.broadcast(target), "concept_id_2").select(
+        F.col("concept_id_1").alias("concept_id"), "parent_code"
+    )
+    parents = mapped.groupBy("concept_id").agg(
+        F.sort_array(F.collect_set("parent_code")).alias("parent_codes")
+    )
+    return concept.join(parents, "concept_id", "left")

@@ -1,0 +1,74 @@
+"""MEDS event conversion: wide rows → long event streams (declared).
+
+The reference declares per-table event templates in YAML
+(configs/event_configs.yaml: each wide pre-MEDS row emits 1..n MEDS events,
+e.g. a visit emits ``//start`` and ``//end`` events with different time
+columns) and MEDS-Transforms' ``convert_to_MEDS_events`` stage applies them.
+
+Spark recast: each event block is a projection to the canonical MEDS shape;
+a row's blocks are assembled into an array of structs and exploded — one
+narrow shuffle-free select + generate, fully codegen'd. ``unionByName`` of
+per-block projections is equivalent; explode keeps it single-pass.
+
+An EventBlock's fields are Column *expressions*, so code templates
+(``vocab//concept//start``) and numeric extraction compose freely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class EventBlock:
+    """One event emitted per wide row (when ``when`` is satisfied)."""
+
+    code: F.Column
+    time: F.Column
+    subject_id: F.Column
+    numeric_value: F.Column | None = None
+    text_value: F.Column | None = None
+    when: F.Column | None = None  # row emits this event only if true
+
+
+def to_meds_events(df: DataFrame, blocks: list[EventBlock]) -> DataFrame:
+    """Explode each wide row into its declared MEDS events."""
+    structs = []
+    for b in blocks:
+        ev = F.struct(
+            b.subject_id.cast("long").alias("subject_id"),
+            b.time.cast("timestamp").alias("time"),
+            b.code.cast("string").alias("code"),
+            (b.numeric_value if b.numeric_value is not None else F.lit(None))
+            .cast("double")
+            .alias("numeric_value"),
+            (b.text_value if b.text_value is not None else F.lit(None))
+            .cast("string")
+            .alias("text_value"),
+        )
+        structs.append(F.when(b.when, ev) if b.when is not None else F.when(F.lit(True), ev))
+    arr = F.array_compact(F.array(*structs))
+    return df.select(F.explode(arr).alias("ev")).select("ev.*")
+
+
+def merge_to_cohort(events: DataFrame, n_shards: int = 32) -> DataFrame:
+    """merge_to_MEDS_cohort analogue (reference configs/ETL.yaml:30):
+    subject-sharded, per-subject time-sorted event stream. The repartition
+    is the subject sharding (N_SUBJECTS_PER_SHARD analogue); the sort is
+    within partitions only — no global order, no driver bottleneck."""
+    return events.repartition(n_shards, "subject_id").sortWithinPartitions(
+        "subject_id", "time", "code"
+    )
+
+
+def code_occurrence_counts(events: DataFrame) -> DataFrame:
+    """extract_code_metadata analogue (reference utils.py:17-36 / A2):
+    per-code occurrence counts with the //start|//end suffix stripped."""
+    base = F.regexp_replace(F.col("code"), r"(//start|//end)$", "")
+    return events.groupBy(base.alias("base_code")).agg(
+        F.count("*").alias("occurrence_count"),
+        F.countDistinct("subject_id").alias("n_subjects"),
+    )

@@ -1,0 +1,405 @@
+"""DuckDB oracle SQL twins for every query in ``queries.py``.
+
+Each SQL statement is the exact relational semantics of its Spark twin,
+written for DuckDB 1.0 over the driver's pre-registered parquet views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Cross-engine determinism conventions (see queries.py):
+DECIMAL-exact aggregation cast to double, md5-based 60-bit hashes,
+floor-quantized embeddings, identical aliases.
+"""
+
+from __future__ import annotations
+
+
+def _md5l(e: str) -> str:
+    """60-bit int hash — twin of functions.text.md5_long."""
+    return f"(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+
+
+TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_REV = "(l_extendedprice::DECIMAL(18,4) * (1.0::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))"
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["tpch_q1"] = f"""
+SELECT l_returnflag, l_linestatus,
+       (SUM(l_quantity::DECIMAL(18,4)))::DOUBLE AS sum_qty,
+       (SUM(l_extendedprice::DECIMAL(18,4)))::DOUBLE AS sum_base_price,
+       (SUM({_REV}))::DOUBLE AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["tpch_q3"] = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       (SUM({_REV}))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+ORACLES["tpch_q5"] = f"""
+SELECT n_name, (SUM({_REV}))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+ORACLES["cdc_upsert_latest"] = """
+SELECT user_id, event_type, ts AS last_ts, value AS last_value, event_id AS last_event_id
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+ORACLES["cdc_apply_events"] = """
+WITH w AS (
+  SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+ORACLES["dedup_earliest"] = """
+SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+ORACLES["semi_join_cohort"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+ORACLES["anti_join_orphans"] = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+ORACLES["concept_join_preference"] = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         nullif(l_partkey, 0) AS l_partkey,
+         nullif(l_suppkey, 0) AS l_suppkey
+  FROM lineitem),
+c AS (
+  SELECT p_partkey AS concept_id, p_name AS concept_name,
+         p_brand AS vocabulary_id, p_type AS concept_code
+  FROM part)
+SELECT li.l_orderkey, li.l_linenumber, li.l_partkey, li.l_suppkey,
+       COALESCE(CASE WHEN c1.concept_code IS NOT NULL THEN c1.vocabulary_id
+                     WHEN c2.concept_code IS NOT NULL THEN c2.vocabulary_id
+                END, 'OMOP_lineitem') AS preferred_vocabulary_name,
+       COALESCE(c1.concept_code, c2.concept_code,
+                concat_ws(':', 'l_partkey',
+                          concat_ws(',', li.l_partkey::VARCHAR, li.l_suppkey::VARCHAR))
+       ) AS preferred_code
+FROM li
+LEFT JOIN c c1 ON li.l_partkey = c1.concept_id
+LEFT JOIN c c2 ON li.l_suppkey = c2.concept_id
+"""
+
+ORACLES["group_count_codes"] = """
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+ORACLES["preferred_time_resolver"] = """
+WITH b AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'click' THEN NULL ELSE ts END AS pts,
+         CASE WHEN value > 400.0 THEN ts + INTERVAL '48 hours' ELSE NULL END AS ov,
+         ts::DATE AS pd
+  FROM events),
+p AS (
+  SELECT event_id, ov,
+         COALESCE(pts, pd::TIMESTAMP + INTERVAL '23 hours 59 minutes 59 seconds') AS prim
+  FROM b)
+SELECT event_id,
+       CASE WHEN ov IS NOT NULL AND ov > prim THEN ov ELSE prim END AS preferred_time
+FROM p
+"""
+
+ORACLES["sentinel_dates"] = """
+SELECT event_id,
+       make_timestamp(
+         COALESCE(CASE WHEN y = 0 THEN 1800 ELSE y END, 1900),
+         COALESCE(nullif(m, 0), 1),
+         COALESCE(nullif(d, 0), 1),
+         0, 0, 0.0) AS birth_ts
+FROM (SELECT event_id,
+             CASE WHEN user_id % 10 = 0 THEN 0
+                  WHEN user_id % 11 = 0 THEN NULL
+                  ELSE year(ts) END AS y,
+             CASE WHEN user_id % 7 = 0 THEN 0 ELSE month(ts) END AS m,
+             CASE WHEN user_id % 5 = 0 THEN NULL ELSE day(ts) END AS d
+      FROM events)
+"""
+
+ORACLES["gender_decode_zero_scrub"] = """
+WITH g AS (
+  SELECT event_id,
+         nullif(([8507, 8532, 0, 1234])[(user_id % 4 + 1)::INT], 0)::BIGINT AS concept_id
+  FROM events)
+SELECT event_id, concept_id,
+       CASE WHEN concept_id = 8507 THEN 'Male'
+            WHEN concept_id = 8532 THEN 'Female'
+            ELSE concept_id::VARCHAR END AS gender
+FROM g
+"""
+
+ORACLES["code_templates"] = """
+WITH c AS (
+  SELECT event_id,
+         concat_ws('//', upper(event_type), (user_id % 100)::VARCHAR)
+         || CASE WHEN value >= 250.0 THEN '//end' ELSE '//start' END AS code
+  FROM events)
+SELECT event_id, code, regexp_replace(code, '(//start|//end)$', '') AS base_code
+FROM c
+"""
+
+ORACLES["union_align"] = """
+SELECT l_orderkey, l_linenumber,
+       (l_quantity::INT)::DOUBLE AS l_quantity, NULL::DOUBLE AS l_tax
+FROM lineitem WHERE l_linenumber % 2 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_quantity, l_tax
+FROM lineitem WHERE l_linenumber % 2 = 1
+"""
+
+ORACLES["json_extract_props"] = """
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events
+"""
+
+ORACLES["sessionize"] = """
+WITH l AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM l)
+SELECT user_id, event_id,
+       (SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+FROM f
+"""
+
+_MEDS_EVENTS = """
+  SELECT o_custkey::BIGINT AS subject_id, o_orderdate AS time,
+         concat_ws('//', 'ORDER', o_orderstatus) || '//start' AS code,
+         o_totalprice AS numeric_value, NULL::VARCHAR AS text_value
+  FROM orders
+  UNION ALL
+  SELECT o_custkey::BIGINT, o_orderdate + INTERVAL '720 hours',
+         concat_ws('//', 'ORDER', o_orderstatus) || '//end',
+         NULL::DOUBLE, o_orderpriority
+  FROM orders
+"""
+
+ORACLES["meds_event_explosion"] = f"SELECT * FROM ({_MEDS_EVENTS})"
+
+ORACLES["meds_code_counts"] = f"""
+WITH ev AS ({_MEDS_EVENTS})
+SELECT regexp_replace(code, '(//start|//end)$', '') AS base_code,
+       COUNT(*) AS occurrence_count,
+       COUNT(DISTINCT subject_id) AS n_subjects
+FROM ev GROUP BY 1
+"""
+
+ORACLES["text_features"] = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         length(text) AS char_count,
+         len(regexp_extract_all(text, '\\S+')) AS word_count,
+         len(regexp_extract_all(text, '[.!?]+')) AS sentence_count,
+         len(regexp_extract_all(text, '[.,!?;:\\-()]')) AS punctuation_count,
+         len(regexp_extract_all(text, '[0-9]')) AS digit_count,
+         len(regexp_extract_all(text, '[A-Z]')) AS uppercase_count,
+         len(list_distinct({TOKS})) AS unique_word_count,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS token_count
+  FROM documents)
+SELECT doc_id, char_count, word_count, sentence_count, punctuation_count,
+       digit_count, uppercase_count, unique_word_count,
+       CASE WHEN word_count > 0 THEN nonspace::DOUBLE / word_count ELSE 0.0 END AS avg_word_length,
+       CASE WHEN word_count > 0 THEN unique_word_count::DOUBLE / word_count ELSE 0.0 END AS lexical_diversity,
+       token_count
+FROM b
+"""
+
+_LANG_RX = {
+    "en": r"\b(the|and|of|to|is|that|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit)\b",
+    "fr": r"\b(le|la|les|et|est|dans|pour)\b",
+    "es": r"\b(el|los|las|es|en|para|una)\b",
+}
+_SCORES = ",\n         ".join(
+    f"len(regexp_extract_all(lower(text), '{rx}')) AS s_{lang}"
+    for lang, rx in _LANG_RX.items()
+)
+ORACLES["lang_id"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_SCORES}
+  FROM documents),
+m AS (SELECT doc_id, s_en, s_de, s_fr, s_es,
+             greatest(s_en, s_de, s_fr, s_es) AS best FROM s)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN s_en = best THEN 'en'
+            WHEN s_de = best THEN 'de'
+            WHEN s_fr = best THEN 'fr'
+            WHEN s_es = best THEN 'es' END AS pred_lang
+FROM m
+"""
+
+ORACLES["quality_score"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS chars,
+         len(regexp_extract_all(text, '\\S+')) AS words,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+         len(regexp_extract_all(lower(text), '{_LANG_RX["en"]}')) AS stop,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         len(regexp_extract_all(text, '[.!?]+')) AS sentences
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         CASE WHEN chars > 0 THEN alpha::DOUBLE / chars ELSE 0.0 END AS alpha_ratio,
+         least(CASE WHEN words > 0 THEN stop::DOUBLE * 10.0 / words ELSE 0.0 END, 1.0) AS stop_ratio,
+         CASE WHEN words > 0 THEN nonspace::DOUBLE / words ELSE 0.0 END AS awl,
+         sentences
+  FROM b)
+SELECT doc_id,
+       (alpha_ratio + stop_ratio
+        + CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN sentences > 0 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality
+FROM r
+"""
+
+ORACLES["token_count_by_source"] = """
+SELECT source,
+       (SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))))::BIGINT AS total_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+ORACLES["doc_fingerprint_dedup"] = f"""
+SELECT md5(array_to_string({TOKS}, ' ')) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+_SHINGLES = f"""
+  SELECT doc_id, CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+2], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+"""
+_MH = ",\n       ".join(
+    "list_min(list_transform(shingles, s -> "
+    + _md5l(f"'{j}|' || s")
+    + f")) AS mh_{j}"
+    for j in range(8)
+)
+ORACLES["minhash_signatures"] = f"""
+WITH sh AS ({_SHINGLES})
+SELECT doc_id,
+       {_MH}
+FROM sh
+"""
+
+_BANDS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id AS id, {b} AS band, "
+    + _md5l(f"mh_{2 * b}::VARCHAR || ',' || mh_{2 * b + 1}::VARCHAR")
+    + " AS bh FROM sig"
+    for b in range(4)
+)
+ORACLES["minhash_lsh_pairs"] = f"""
+WITH sh AS ({_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+         {_MH}
+  FROM sh),
+banded AS (
+{_BANDS}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+"""
+
+_SIMHASH_TERMS = "\n       + ".join(
+    "CASE WHEN COALESCE(list_aggregate(list_transform(hs, "
+    f"x -> CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END), 'sum'), 0) > 0 "
+    f"THEN {2**b} ELSE 0 END"
+    for b in range(16)
+)
+ORACLES["simhash_groups"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(list_distinct({TOKS}), t -> {_md5l('t')}) AS hs
+  FROM documents)
+SELECT doc_id,
+       ({_SIMHASH_TERMS})::BIGINT AS simhash
+FROM h
+"""
+
+ORACLES["jaccard_pairs"] = f"""
+WITH t1 AS (
+  SELECT doc_id AS id, source AS blk, list_distinct({TOKS}) AS toks
+  FROM documents),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+              THEN len(list_intersect(a.toks, b.toks))::DOUBLE
+                   / len(list_distinct(list_concat(a.toks, b.toks)))
+              ELSE 0.0 END AS jaccard
+  FROM t1 a JOIN t1 b ON a.blk = b.blk AND a.id < b.id)
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+"""
+
+ORACLES["binary_metadata"] = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha256,
+       lang AS media_lang
+FROM documents
+"""
+
+_QE = "list_transform(embedding, x -> floor(x::DOUBLE * 10000)::BIGINT)"
+ORACLES["embedding_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, {_QE} AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, {_QE} AS ce FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         (list_aggregate(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i]),
+                         'sum'))::BIGINT AS score
+  FROM q, c WHERE neighbor_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+"""

@@ -1,0 +1,437 @@
+"""The engine's query suite over the driver testdata tables.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; each has an
+exact DuckDB oracle in ``oracles.py``. Together they cover every operator
+family in SURVEY.md §2 plus the training-data-pipeline ops (dedup families,
+ANN, text analytics, multimodal plumbing).
+
+Cross-engine determinism rules used throughout (and mirrored in the SQL):
+
+* money/double aggregations run in DECIMAL and cast the final aggregate to
+  double (exact decimal → nearest-double is bit-identical in both engines;
+  naive double sums would differ by summation order),
+* cross-engine hashes are md5-based 60-bit ints (``md5_long``),
+* float embeddings are fixed-point-quantized with ``floor`` (rounding-mode
+  free) before integer dot products,
+* every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .functions.codes import code_template, gender_decode, strip_code_suffix, zero_scrub
+from .functions.datetime_ops import end_of_day, sentinel_date
+from .operators import dedup as DD
+from .operators import similarity as SIM
+from .operators.joins import join_concept, semi_join
+from .operators.meds import EventBlock, code_occurrence_counts, to_meds_events
+from .operators.upsert import last_writer_wins, last_writer_wins_window
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, scale=4):
+    return c.cast(f"decimal(18,{scale})")
+
+
+# ===================================================================== TPC-H
+def tpch_q1(spark, sf_dir):
+    """Pricing summary: agg + filter pushdown (A2 family; bench headline)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = _dec(F.lit(1.0)) - _dec(F.col("l_discount"))
+    revenue = _dec(F.col("l_extendedprice")) * disc
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(revenue).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out
+
+
+def tpch_q3(spark, sf_dir):
+    """Shipping priority: 3-way join + grouped revenue + deterministic top-10."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "2000-01-01")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "2000-01-01")
+    revenue = _dec(F.col("l_extendedprice")) * (_dec(F.lit(1.0)) - _dec(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q5(spark, sf_dir):
+    """Local-supplier volume: 6-way join, dims broadcast, grouped revenue."""
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    supplier = t(spark, sf_dir, "supplier")
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    revenue = _dec(F.col("l_extendedprice")) * (_dec(F.lit(1.0)) - _dec(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ================================================================== CDC core
+def cdc_upsert_latest(spark, sf_dir):
+    """A1/T5: the salted LWW kernel — latest event per (user_id, event_type)."""
+    ev = t(spark, sf_dir, "events")
+    w = last_writer_wins(ev, ["user_id", "event_type"], seq_col="ts", tiebreak_col="event_id")
+    return w.select(
+        "user_id", "event_type",
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+def cdc_apply_events(spark, sf_dir):
+    """Full CDC apply treating events as a WAL keyed by user_id:
+    event_type='error' is a delete tombstone, everything else upserts."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    )
+    w = last_writer_wins(ev, ["user_id"], seq_col="ts", tiebreak_col="event_id")
+    return w.filter(F.col("op") != "D").select(
+        "user_id", F.col("ts").alias("last_ts"), F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def dedup_earliest(spark, sf_dir):
+    """A1 exact reference semantics (earliest-wins, window variant):
+    first order per customer by (o_orderdate, o_orderkey)."""
+    orders = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+# ===================================================================== joins
+def semi_join_cohort(spark, sf_dir):
+    """J1/J3: orders of BUILDING-segment customers (broadcast semi join)."""
+    orders = t(spark, sf_dir, "orders")
+    cohort = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return semi_join(orders, cohort.select(F.col("c_custkey").alias("o_custkey")), "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def anti_join_orphans(spark, sf_dir):
+    """J2: customers with no orders."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def concept_join_preference(spark, sf_dir):
+    """J4/J5 + F9/F10 + P5 via the join_concept factory: lineitem joined to
+    a part-derived concept dimension on two reference columns; supplier ids
+    never resolve → exercises the source-preference and fallback paths."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    concept = part.select(
+        F.col("p_partkey").alias("concept_id"),
+        F.col("p_name").alias("concept_name"),
+        F.col("p_brand").alias("vocabulary_id"),
+        F.col("p_type").alias("concept_code"),
+    )
+    fn = join_concept("lineitem", ["l_partkey", "l_suppkey"], prefer_source=False,
+                      output_cols=["l_orderkey", "l_linenumber"])
+    out = fn(li, concept, cohort=None)
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "preferred_vocabulary_name", "preferred_code",
+    )
+
+
+def group_count_codes(spark, sf_dir):
+    """A2: group-by counts with distinct-subject counts."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ============================================================ scalar functions
+def preferred_time_resolver(spark, sf_dir):
+    """F1-F4: preferred-event-datetime — coalesce(primary ts, end-of-day
+    date), override wins iff non-null and strictly later."""
+    ev = t(spark, sf_dir, "events")
+    primary_ts = F.when(F.col("event_type") == "click", F.lit(None).cast("timestamp")).otherwise(
+        F.col("ts")
+    )
+    primary_date = F.to_date("ts")
+    override = F.when(F.col("value") > 400.0, F.col("ts") + F.expr("INTERVAL 48 HOURS")).otherwise(
+        F.lit(None).cast("timestamp")
+    )
+    primary = F.coalesce(primary_ts, end_of_day(primary_date))
+    preferred = F.when(override.isNotNull() & (override > primary), override).otherwise(primary)
+    return ev.select("event_id", preferred.alias("preferred_time"))
+
+
+def sentinel_dates(spark, sf_dir):
+    """F5/F6: sentinel-repairing date construction (0→1800, null→1900)."""
+    ev = t(spark, sf_dir, "events")
+    y = (
+        F.when(F.col("user_id") % 10 == 0, F.lit(0))
+        .when(F.col("user_id") % 11 == 0, F.lit(None))
+        .otherwise(F.year("ts"))
+    ).cast("long")
+    m = F.when(F.col("user_id") % 7 == 0, F.lit(0)).otherwise(F.month("ts")).cast("long")
+    d = F.when(F.col("user_id") % 5 == 0, F.lit(None)).otherwise(F.dayofmonth("ts")).cast("long")
+    return ev.select("event_id", sentinel_date(y, m, d).alias("birth_ts"))
+
+
+def gender_decode_zero_scrub(spark, sf_dir):
+    """F8 + P5: concept-id zero-scrub and vectorized gender decode."""
+    ev = t(spark, sf_dir, "events")
+    concept_id = F.element_at(
+        F.array(F.lit(8507), F.lit(8532), F.lit(0), F.lit(1234)),
+        (F.col("user_id") % 4 + 1).cast("int"),
+    ).cast("long")
+    scrubbed = zero_scrub(concept_id)
+    return ev.select(
+        "event_id", scrubbed.alias("concept_id"), gender_decode(scrubbed).alias("gender")
+    )
+
+
+def code_templates(spark, sf_dir):
+    """F11/F13: vocab//code//suffix templates + suffix strip."""
+    ev = t(spark, sf_dir, "events")
+    code = code_template(
+        F.upper("event_type"),
+        (F.col("user_id") % 100).cast("string"),
+    )
+    suffixed = F.when(F.col("value") >= 250.0, F.concat(code, F.lit("//end"))).otherwise(
+        F.concat(code, F.lit("//start"))
+    )
+    return ev.select("event_id", suffixed.alias("code"), strip_code_suffix(suffixed).alias("base_code"))
+
+
+def union_align(spark, sf_dir):
+    """U1/U2: schema-drifted splits re-unified by the align registry
+    (missing→typed null, int→double widening)."""
+    from pyspark.sql import types as T
+
+    from .plans.align import SchemaRegistry
+
+    li = t(spark, sf_dir, "lineitem")
+    left = li.filter(F.col("l_linenumber") % 2 == 0).select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("int").alias("l_quantity")
+    )
+    right = li.filter(F.col("l_linenumber") % 2 == 1).select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity"), "l_tax"
+    )
+    reg = SchemaRegistry(target=T.StructType([]))
+    reg.evolve(left.schema)
+    reg.evolve(right.schema)  # adopts l_tax, widens l_quantity int→double
+    return reg.align(left).unionByName(reg.align(right))
+
+
+def json_extract_props(spark, sf_dir):
+    """JSON scalar extraction (JVM-side get_json_object)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def sessionize(spark, sf_dir):
+    """Window sessionization: new session after a 30-minute gap."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    # ts reads as TIMESTAMP_NTZ from pandas-written parquet; interval
+    # comparison works for both NTZ and instant timestamps
+    prev = F.lag("ts").over(w)
+    gap_over = (F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES")
+    new_sess = F.when(prev.isNull() | gap_over, F.lit(1)).otherwise(F.lit(0))
+    sess = F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return ev.select("user_id", "event_id", sess.cast("long").alias("session_id"))
+
+
+# ====================================================================== MEDS
+def _order_events(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    code = code_template(F.lit("ORDER"), F.col("o_orderstatus"))
+    blocks = [
+        EventBlock(
+            code=F.concat(code, F.lit("//start")),
+            time=F.col("o_orderdate"),
+            subject_id=F.col("o_custkey"),
+            numeric_value=F.col("o_totalprice"),
+        ),
+        EventBlock(
+            code=F.concat(code, F.lit("//end")),
+            time=F.col("o_orderdate") + F.expr("INTERVAL 720 HOURS"),
+            subject_id=F.col("o_custkey"),
+            numeric_value=None,
+            text_value=F.col("o_orderpriority"),
+        ),
+    ]
+    return to_meds_events(orders, blocks)
+
+
+def meds_event_explosion(spark, sf_dir):
+    """convert_to_MEDS analogue: wide order rows → //start + //end events."""
+    return _order_events(spark, sf_dir)
+
+
+def meds_code_counts(spark, sf_dir):
+    """J9/A2: per-base-code occurrence counts over the exploded events."""
+    return code_occurrence_counts(_order_events(spark, sf_dir))
+
+
+# ============================================================= text analytics
+def text_features(spark, sf_dir):
+    """F15 vectorized: the full NLP feature block, zero Python."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *TX.text_features(F.col("text")))
+
+
+def lang_id(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def quality_score(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+def token_count_by_source(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def doc_fingerprint_dedup(spark, sf_dir):
+    """Exact dedup on the normalized-content fingerprint."""
+    docs = t(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs, "doc_id", "text")
+
+
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures, flattened to columns (cross-engine md5 hashes)."""
+    docs = t(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(F.col("text"), k=8)
+    return docs.select(
+        "doc_id", *[F.element_at(sig, j + 1).alias(f"mh_{j}") for j in range(8)]
+    )
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4)
+
+
+def simhash_groups(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", DD.simhash_col(F.col("text")).alias("simhash"))
+
+
+def jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard over source-blocked candidate pairs."""
+    docs = t(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(docs, "doc_id", "text", block_col="source", threshold=0.8)
+
+
+def binary_metadata(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads with typed metadata —
+    byte length + sha256 computed on the binary column, JVM-side."""
+    docs = t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.sha2(blob, 256).alias("sha256"),
+        F.col("lang").alias("media_lang"),
+    )
+
+
+# ================================================================ similarity
+def embedding_topk(spark, sf_dir):
+    """Brute-force ANN baseline: exact top-5 by quantized dot product."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (scale path; verified in tests against brute force —
+    rows-only oracle here by design)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.lsh_ann_topk(emb, queries, spark, k=5, n_planes=6, dim=64)
+
+
+ALL_QUERIES = {
+    "tpch_q1": tpch_q1,
+    "tpch_q3": tpch_q3,
+    "tpch_q5": tpch_q5,
+    "cdc_upsert_latest": cdc_upsert_latest,
+    "cdc_apply_events": cdc_apply_events,
+    "dedup_earliest": dedup_earliest,
+    "semi_join_cohort": semi_join_cohort,
+    "anti_join_orphans": anti_join_orphans,
+    "concept_join_preference": concept_join_preference,
+    "group_count_codes": group_count_codes,
+    "preferred_time_resolver": preferred_time_resolver,
+    "sentinel_dates": sentinel_dates,
+    "gender_decode_zero_scrub": gender_decode_zero_scrub,
+    "code_templates": code_templates,
+    "union_align": union_align,
+    "json_extract_props": json_extract_props,
+    "sessionize": sessionize,
+    "meds_event_explosion": meds_event_explosion,
+    "meds_code_counts": meds_code_counts,
+    "text_features": text_features,
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "token_count_by_source": token_count_by_source,
+    "doc_fingerprint_dedup": doc_fingerprint_dedup,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_groups": simhash_groups,
+    "jaccard_pairs": jaccard_pairs,
+    "binary_metadata": binary_metadata,
+    "embedding_topk": embedding_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+}
