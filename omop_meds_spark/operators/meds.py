@@ -54,6 +54,40 @@ def to_meds_events(df: DataFrame, blocks: list[EventBlock]) -> DataFrame:
     return df.select(F.explode(arr).alias("ev")).select("ev.*")
 
 
+# CDC → MEDS: the per-batch projection of change winners into the
+# MEDS-shaped target (north star: "applied as idempotent MERGE-style
+# upserts into MEDS-shaped … target tables (subject_id, time, code,
+# numeric_value)"). The mapping is bijective with the CDC key — subject =
+# repo (hashed to the MEDS Int64 subject_id), code = FILE//path — so
+# last-writer-wins semantics carry over unchanged, and every column is
+# reproducible by the pandas replay oracle (md5-based hash, seq-derived
+# timestamp).
+MEDS_KEY_COLS = ["subject_id", "code"]
+
+
+def change_winners_to_meds(winners: DataFrame) -> DataFrame:
+    """Project per-key change winners to MEDS shape, keeping the CDC
+    envelope (seq_no / event_id / op) so the MEDS table merges identically."""
+    from ..functions.text import md5_long
+
+    # presence-conditional: size_bytes only exists after the schema-evolution
+    # point (the reference's pattern of consulting the schema before building
+    # expressions, src/OMOP_MEDS/pre_meds_utils.py:127-165)
+    size = (
+        F.col("size_bytes") if "size_bytes" in winners.columns else F.lit(None)
+    )
+    return winners.select(
+        md5_long(F.col("repo")).alias("subject_id"),
+        F.timestamp_seconds(F.col("seq_no")).alias("time"),
+        F.concat(F.lit("FILE//"), F.col("path")).alias("code"),
+        size.cast("double").alias("numeric_value"),
+        F.col("content_sha256").alias("text_value"),
+        F.col("seq_no"),
+        F.col("event_id"),
+        F.col("op"),
+    )
+
+
 def merge_to_cohort(events: DataFrame, n_shards: int = 32) -> DataFrame:
     """merge_to_MEDS_cohort analogue (reference configs/ETL.yaml:30):
     subject-sharded, per-subject time-sorted event stream. The repartition

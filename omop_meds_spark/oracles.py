@@ -390,6 +390,39 @@ SELECT doc_id,
 FROM documents
 """
 
+_CM = """
+SELECT doc_id,
+       len(string_split(text, chr(10)))::BIGINT AS n_lines,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       coalesce(list_max(list_transform(string_split(text, chr(10)),
+                                        x -> length(x))), 0)::BIGINT AS max_line_len
+FROM documents
+"""
+ORACLES["content_metrics_udf"] = _CM
+ORACLES["content_metrics_jvm"] = _CM
+
+ORACLES["code_mapping_udf"] = """
+SELECT doc_id,
+       CASE WHEN lang = 'en' THEN 'LANG//english'
+            WHEN lang = 'de' THEN 'LANG//german'
+            ELSE 'LANG//' || coalesce(lang, 'unknown') END AS lang_code
+FROM documents
+"""
+
+ORACLES["media_decode"] = """
+SELECT doc_id::BIGINT AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha256,
+       (16 + ('0x' || substr(sha256(text), 1, 2))::INT % 240)::BIGINT AS width,
+       (16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240)::BIGINT AS height
+FROM documents
+"""
+# media_frame_sample: rows-only by design (byte-window hashing over UTF-8
+# payloads is not expressible in DuckDB SQL — sha256 there is VARCHAR-only).
+
 _QE = "list_transform(embedding, x -> floor(x::DOUBLE * 10000)::BIGINT)"
 ORACLES["embedding_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, {_QE} AS qe FROM embeddings WHERE vec_id < 10),

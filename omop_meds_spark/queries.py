@@ -386,6 +386,55 @@ def binary_metadata(spark, sf_dir):
     )
 
 
+# ========================================================== pandas/Arrow UDFs
+def content_metrics_udf(spark, sf_dir):
+    """Vectorized pandas UDF (Arrow-batched) over document text — the
+    sanctioned Python path; bit-identical to the JVM twin below."""
+    from .functions.arrow_udfs import content_metrics
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", content_metrics(F.col("text")).alias("m")).select(
+        "doc_id", "m.n_lines", "m.n_bytes", "m.max_line_len"
+    )
+
+
+def content_metrics_jvm(spark, sf_dir):
+    """JVM Column-algebra twin of content_metrics_udf (same oracle)."""
+    from .functions.arrow_udfs import content_metrics_builtin
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *content_metrics_builtin(F.col("text")))
+
+
+def code_mapping_udf(spark, sf_dir):
+    """Closed-over code-mapping pandas UDF (concept-dictionary analogue)."""
+    from .functions.arrow_udfs import make_code_mapper
+
+    mapper = make_code_mapper({"en": "LANG//english", "de": "LANG//german"})
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", mapper(F.col("lang")).alias("lang_code"))
+
+
+# ================================================================ multimodal
+def media_decode(spark, sf_dir):
+    """mapInPandas media decode (stubbed decoder, real plumbing): binary
+    payload → typed metadata, deterministic and oracle-checked."""
+    from .operators.multimodal import decode_media, media_from_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return decode_media(media_from_documents(docs))
+
+
+def media_frame_sample(spark, sf_dir):
+    """mapInPandas frame sampling: 0..n rows out per media row (rows-only
+    oracle by design — byte-window hashing is not SQL-expressible when the
+    text is not pure ASCII)."""
+    from .operators.multimodal import media_from_documents, sample_frames
+
+    docs = t(spark, sf_dir, "documents")
+    return sample_frames(media_from_documents(docs))
+
+
 # ================================================================ similarity
 def embedding_topk(spark, sf_dir):
     """Brute-force ANN baseline: exact top-5 by quantized dot product."""
@@ -432,6 +481,11 @@ ALL_QUERIES = {
     "simhash_groups": simhash_groups,
     "jaccard_pairs": jaccard_pairs,
     "binary_metadata": binary_metadata,
+    "content_metrics_udf": content_metrics_udf,
+    "content_metrics_jvm": content_metrics_jvm,
+    "code_mapping_udf": code_mapping_udf,
+    "media_decode": media_decode,
+    "media_frame_sample": media_frame_sample,
     "embedding_topk": embedding_topk,
     "ann_lsh_topk": ann_lsh_topk,
 }

@@ -187,3 +187,27 @@ def replay_oracle(wal_dir: str | Path) -> "pa.Table":
         for c in df["content"]
     ]
     return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def meds_replay_oracle(wal_dir: str | Path) -> "pa.Table":
+    """Oracle for the MEDS-shaped target: the live replay state projected
+    exactly like operators/meds.py:change_winners_to_meds. String-rendered
+    time/numeric so fingerprints match Spark's canonical string casts."""
+    import pandas as pd
+
+    live = replay_oracle(wal_dir)
+    out = pd.DataFrame(
+        {
+            "subject_id": [
+                int(hashlib.md5(r.encode()).hexdigest()[:15], 16) for r in live["repo"]
+            ],
+            "time": [str(pd.Timestamp(int(s), unit="s")) for s in live["seq_no"]],
+            "code": "FILE//" + live["path"],
+            "numeric_value": [
+                None if pd.isna(v) else f"{float(v):.1f}" for v in live["size_bytes"]
+            ],
+            "text_value": live["content_sha256"],
+            "seq_no": live["seq_no"],
+        }
+    )
+    return out.sort_values(["subject_id", "code"]).reset_index(drop=True)

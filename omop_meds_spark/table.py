@@ -96,6 +96,14 @@ class SnapshotTable:
         m = self.latest()
         return -1 if m is None else m.get("watermark_seq", -1)
 
+    def offsets(self) -> dict[int, int]:
+        """Per-partition (key-bucket) replay offsets: bucket → max applied
+        seq_no. The resume contract of the north rule: a reader that tails
+        the WAL per key-partition restarts each partition from its own
+        offset, not a single global watermark."""
+        m = self.latest()
+        return {} if m is None else {int(b): s for b, s in m.get("offsets", {}).items()}
+
     # --------------------------------------------------------------- read
     def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame | None:
         """Read current state (optionally only the given buckets — manifest-
@@ -131,6 +139,7 @@ class SnapshotTable:
         lineage: dict | None = None,
         metrics: dict | None = None,
         schema_json: str | None = None,
+        offsets: dict[int, int] | None = None,
     ) -> bool:
         """Write ``merged`` (state rows for the touched buckets, including
         the ``__bucket`` column) and atomically publish a new snapshot.
@@ -167,6 +176,9 @@ class SnapshotTable:
         files = {b: fs for b, fs in files.items() if fs}
 
         committed = sorted((set(prev["committed"]) if prev else set()) | {batch_id})
+        prev_offsets = {int(b): s for b, s in (prev.get("offsets", {}) if prev else {}).items()}
+        for b, s in (offsets or {}).items():
+            prev_offsets[int(b)] = max(int(s), prev_offsets.get(int(b), -1))
         lineage_all = dict(prev.get("lineage", {})) if prev else {}
         lineage_all[str(batch_id)] = lineage or {}
         manifest = {
@@ -176,6 +188,7 @@ class SnapshotTable:
             "schema": schema_json or (prev.get("schema") if prev else None),
             "committed": committed,
             "watermark_seq": max(watermark_seq, prev.get("watermark_seq", -1) if prev else -1),
+            "offsets": {str(b): s for b, s in sorted(prev_offsets.items())},
             "lineage": lineage_all,
             "metrics": {**(prev.get("metrics", {}) if prev else {}),
                         str(batch_id): metrics or {}},

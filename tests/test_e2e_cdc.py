@@ -9,15 +9,20 @@ from __future__ import annotations
 
 from omop_meds_spark import verify
 from omop_meds_spark.runner import CDCRunner
-from omop_meds_spark.sources.gen import generate_wal, replay_oracle
+from omop_meds_spark.sources.gen import generate_wal, meds_replay_oracle, replay_oracle
 
 FP_COLS = ["repo", "path", "commit", "lang", "size_bytes", "content_sha256", "seq_no"]
+MEDS_FP_COLS = ["subject_id", "time", "code", "numeric_value", "text_value", "seq_no"]
 
 
 def _oracle_fp(wal_dir):
     pdf = replay_oracle(wal_dir)
     pdf["size_bytes"] = pdf["size_bytes"].astype("Int64")
     return verify.pandas_fingerprint(pdf, FP_COLS)
+
+
+def _meds_oracle_fp(wal_dir):
+    return verify.pandas_fingerprint(meds_replay_oracle(wal_dir), MEDS_FP_COLS)
 
 
 def test_full_replay_matches_oracle(spark, tmpdir_path):
@@ -29,6 +34,9 @@ def test_full_replay_matches_oracle(spark, tmpdir_path):
     assert all(m["committed"] for m in metrics)
     fp = verify.state_fingerprint(r.final_state(), FP_COLS)
     assert fp == _oracle_fp(wal)
+    # the MEDS-shaped target converged too (subject_id/time/code/numeric)
+    meds_fp = verify.state_fingerprint(r.final_meds(), MEDS_FP_COLS)
+    assert meds_fp == _meds_oracle_fp(wal)
 
 
 def test_resume_mid_stream(spark, tmpdir_path):
@@ -63,6 +71,45 @@ def test_replay_whole_wal_twice_is_noop(spark, tmpdir_path):
     assert again == []  # every batch skipped
     assert r.table.version == v
     assert verify.state_fingerprint(r.final_state(), FP_COLS) == fp1
+
+
+def test_crash_between_dual_commits(spark, tmpdir_path):
+    """Crash after the state commit but before the MEDS commit: resume
+    re-applies only the missing target and both tables converge."""
+    from pathlib import Path
+
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=3000, n_repos=8, paths_per_repo=20, n_files=4, seed=43)
+    table = f"{tmpdir_path}/table"
+    r1 = CDCRunner(spark, wal, table, n_buckets=8, files_per_batch=2)
+    r1.run()
+    fp_meds = verify.state_fingerprint(r1.final_meds(), MEDS_FP_COLS)
+
+    # simulate the crash: drop the MEDS table's newest manifest
+    last = sorted(Path(table, "meds", "_log").glob("v*.json"))[-1]
+    last.unlink()
+    r2 = CDCRunner(spark, wal, table, n_buckets=8, files_per_batch=2)
+    applied = r2.run()
+    assert len(applied) == 1  # only the half-committed batch re-ran
+    assert verify.state_fingerprint(r2.final_meds(), MEDS_FP_COLS) == fp_meds
+    assert verify.state_fingerprint(r2.final_meds(), MEDS_FP_COLS) == _meds_oracle_fp(wal)
+
+
+def test_per_partition_offsets_checkpointed(spark, tmpdir_path):
+    """The manifest carries per-bucket replay offsets (north rule:
+    per-partition offsets, not one global watermark) that only advance."""
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=4000, n_repos=10, paths_per_repo=25, n_files=4, seed=41)
+    r = CDCRunner(spark, wal, f"{tmpdir_path}/table", n_buckets=8, files_per_batch=2)
+    batches = r.reader.plan_batches()
+    r.apply_batch(batches[0])
+    off1 = r.table.offsets()
+    assert off1 and all(0 <= b < 8 for b in off1)
+    r.apply_batch(batches[1])
+    off2 = r.table.offsets()
+    assert set(off1) <= set(off2)
+    assert all(off2[b] >= s for b, s in off1.items())
+    assert max(off2.values()) == r.table.watermark()
 
 
 def test_schema_evolution_recorded(spark, tmpdir_path):

@@ -1,0 +1,89 @@
+"""pandas/Arrow UDF parity + multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop_meds_spark.functions.arrow_udfs import (
+    content_metrics,
+    content_metrics_builtin,
+    make_code_mapper,
+)
+from omop_meds_spark.operators.multimodal import (
+    decode_media,
+    media_from_documents,
+    sample_frames,
+)
+
+DOCS = [
+    (0, "hello world\nsecond line here", "en", "web"),
+    (1, "a\nbb\nccc\n", "en", "web"),
+    (2, "", "de", "books"),
+    (3, "único línea with ünïcode £", "es", "web"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string, source string")
+
+
+def test_content_metrics_udf_matches_jvm_twin(docs):
+    udf_rows = {
+        r["doc_id"]: (r["n_lines"], r["n_bytes"], r["max_line_len"])
+        for r in docs.select(
+            "doc_id", content_metrics(F.col("text")).alias("m")
+        ).select("doc_id", "m.*").collect()
+    }
+    jvm_rows = {
+        r["doc_id"]: (r["n_lines"], r["n_bytes"], r["max_line_len"])
+        for r in docs.select("doc_id", *content_metrics_builtin("text")).collect()
+    }
+    assert udf_rows == jvm_rows
+    # golden: unicode text is counted in bytes, lines in chars
+    assert udf_rows[3][1] == len("único línea with ünïcode £".encode())
+    assert udf_rows[1] == (4, 9, 3)
+
+
+def test_code_mapper_fallback(docs):
+    mapper = make_code_mapper({"en": "LANG//english"})
+    got = {r["doc_id"]: r["c"] for r in docs.select("doc_id", mapper("lang").alias("c")).collect()}
+    assert got[0] == "LANG//english"
+    assert got[2] == "LANG//de"  # unmapped → composed fallback code
+
+
+def test_decode_media_stub_deterministic(docs):
+    out = decode_media(media_from_documents(docs)).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(out) == 4
+    payload = "hello world\nsecond line here".encode()
+    d = hashlib.sha256(payload).digest()
+    assert by_id[0]["sha256"] == hashlib.sha256(payload).hexdigest()
+    assert by_id[0]["n_bytes"] == len(payload)
+    assert by_id[0]["width"] == 16 + d[0] % 240
+    assert by_id[0]["height"] == 16 + d[1] % 240
+    assert by_id[0]["media_type"] == "image/png"
+
+
+def test_decode_media_real_decoder_is_gated(docs):
+    with pytest.raises(Exception) as ei:
+        decode_media(media_from_documents(docs), decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_sample_frames_shape(docs):
+    out = sample_frames(media_from_documents(docs), every_n_bytes=8, max_frames=3).collect()
+    per_id = {}
+    for r in out:
+        per_id.setdefault(r["media_id"], []).append(r)
+    # 28-byte doc → min(3, 28//8=3) = 3 frames; empty doc → 1 frame
+    assert len(per_id[0]) == 3
+    assert [r["frame_idx"] for r in sorted(per_id[0], key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    assert len(per_id[2]) == 1
+    # frame hash is the window hash
+    w0 = "hello world\nsecond line here".encode()[0:8]
+    f0 = min(per_id[0], key=lambda r: r["frame_idx"])
+    assert f0["frame_sha256"] == hashlib.sha256(w0).hexdigest()
