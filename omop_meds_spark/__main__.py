@@ -1,0 +1,121 @@
+"""CLI entry point — runs under ``spark-submit --py-files`` or plain python.
+
+Usage (cluster):
+
+    zip -r omop_meds_spark.zip omop_meds_spark
+    spark-submit --py-files omop_meds_spark.zip -m omop_meds_spark ...  # or:
+    spark-submit --py-files omop_meds_spark.zip cli.py replay --wal ... --table ...
+
+Usage (local):
+
+    python -m omop_meds_spark gen    --wal /tmp/wal --events 100000
+    python -m omop_meds_spark replay --wal /tmp/wal --table /tmp/tbl [--cores 32]
+    python -m omop_meds_spark stream --wal /tmp/wal --table /tmp/tbl
+    python -m omop_meds_spark status --table /tmp/tbl
+
+``replay`` resumes from the snapshot log (committed batches are no-ops), so
+re-running after a crash continues mid-stream — the resumability contract.
+When submitted to a real cluster, omit ``--cores`` and let the session come
+from the cluster config (the builder only sets ``master`` when ``--cores``
+is given).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _session(cores: int | None):
+    from .session import get_spark
+
+    if cores is None:
+        # cluster mode: respect spark-submit's master/conf entirely
+        from pyspark.sql import SparkSession
+
+        return SparkSession.builder.getOrCreate()
+    return get_spark(app_name="omop-meds-cdc", cores=cores, shuffle_partitions=cores)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="omop_meds_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a deterministic synthetic WAL")
+    g.add_argument("--wal", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--repos", type=int, default=50)
+    g.add_argument("--files", type=int, default=20)
+    g.add_argument("--seed", type=int, default=42)
+
+    for name in ("replay", "stream"):
+        r = sub.add_parser(name, help=f"{name} the WAL into the snapshot table")
+        r.add_argument("--wal", required=True)
+        r.add_argument("--table", required=True)
+        r.add_argument("--cores", type=int, default=None)
+        r.add_argument("--buckets", type=int, default=32)
+        r.add_argument("--files-per-batch", type=int, default=4)
+        r.add_argument("--salts", type=int, default=16)
+
+    s = sub.add_parser("status", help="print snapshot-table status (no Spark)")
+    s.add_argument("--table", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .sources.gen import generate_wal
+
+        m = generate_wal(args.wal, n_events=args.events, n_repos=args.repos,
+                         n_files=args.files, seed=args.seed)
+        print(json.dumps({"files": m["n_files"], "events": m["n_events"]}))
+        return 0
+
+    if args.cmd == "status":
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        t = SnapshotTable(args.table, KEY_COLS)
+        m = t.latest()
+        if m is None:
+            print(json.dumps({"version": None}))
+            return 0
+        print(json.dumps({
+            "version": m["version"],
+            "committed_batches": len(m["committed"]),
+            "watermark_seq": m.get("watermark_seq"),
+            "offsets": m.get("offsets", {}),
+            "buckets": len(m.get("files", {})),
+        }))
+        return 0
+
+    spark = _session(args.cores)
+    t0 = time.monotonic()
+    if args.cmd == "replay":
+        from .runner import CDCRunner
+
+        r = CDCRunner(spark, args.wal, args.table, n_buckets=args.buckets,
+                      files_per_batch=args.files_per_batch, n_salts=args.salts)
+        metrics = r.run()
+    else:
+        from .streaming.stream_runner import StreamingCDCRunner
+
+        r = StreamingCDCRunner(spark, args.wal, args.table, n_buckets=args.buckets,
+                               files_per_batch=args.files_per_batch, n_salts=args.salts)
+        metrics = r.run_available()
+    wall = time.monotonic() - t0
+    n_events = sum(m.get("n_events", 0) for m in metrics)
+    print(json.dumps({
+        "mode": args.cmd,
+        "batches_applied": len(metrics),
+        "n_events": n_events,
+        "wall_s": round(wall, 3),
+        "events_per_s": round(n_events / wall, 1) if wall > 0 and n_events else None,
+        "final_keys": (r.final_state().count() if r.final_state() is not None else 0),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -77,6 +77,26 @@ def minhash_signature(col, k: int = DEFAULT_K, n: int = SHINGLE_N) -> F.Column:
     return F.array(*[mh(j) for j in range(k)])
 
 
+def minhash_signatures_df(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_K, n: int = SHINGLE_N
+) -> DataFrame:
+    """Per-document minhash signature as columns (id, mh_0..mh_{k-1}).
+
+    Shape matters at scale: explode shingles once (the regex tokenization
+    runs ONCE per document), hash each shingle under k seeds in one narrow
+    projection, then one groupBy(id) with k ``min`` aggregates — map-side
+    partial combine means the shuffle carries k longs per document, and the
+    resulting exchange is reused by every downstream consumer (bucket
+    counts + both sides of the LSH self-join) instead of recomputing the
+    whole hash pipeline per consumer.
+    """
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("s"))
+    hashed = sh.select(
+        "id", *[md5_long(F.concat(F.lit(f"{j}|"), F.col("s"))).alias(f"h{j}") for j in range(k)]
+    )
+    return hashed.groupBy("id").agg(*[F.min(f"h{j}").alias(f"mh_{j}") for j in range(k)])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -89,7 +109,7 @@ def minhash_lsh_pairs(
     least one LSH band. ``max_bucket`` drops degenerate buckets (e.g. empty
     documents) that would explode quadratically at scale."""
     rows_per_band = k // bands
-    sig = df.select(F.col(id_col).alias("id"), minhash_signature(text_col, k).alias("sig"))
+    sig = minhash_signatures_df(df, id_col, text_col, k)
     banded = sig.select(
         "id",
         F.explode(
@@ -101,7 +121,7 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+                                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )

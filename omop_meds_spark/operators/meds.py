@@ -88,6 +88,18 @@ def change_winners_to_meds(winners: DataFrame) -> DataFrame:
     )
 
 
+def meds_bucket_expr_from_change(n_buckets: int) -> F.Column:
+    """The MEDS table's bucket id, computed directly from change-event key
+    columns (repo, path) — possible because subject_id/code are pure
+    functions of them. Lets the runner collect state- and MEDS-bucket stats
+    in ONE aggregation job per batch instead of two."""
+    from ..functions.text import md5_long
+
+    subject = md5_long(F.col("repo"))
+    code = F.concat(F.lit("FILE//"), F.col("path"))
+    return F.pmod(F.xxhash64(subject, code), F.lit(n_buckets)).cast("int")
+
+
 def merge_to_cohort(events: DataFrame, n_shards: int = 32) -> DataFrame:
     """merge_to_MEDS_cohort analogue (reference configs/ETL.yaml:30):
     subject-sharded, per-subject time-sorted event stream. The repartition

@@ -349,11 +349,11 @@ def doc_fingerprint_dedup(spark, sf_dir):
 
 
 def minhash_signatures(spark, sf_dir):
-    """MinHash signatures, flattened to columns (cross-engine md5 hashes)."""
+    """MinHash signatures, flattened to columns (cross-engine md5 hashes);
+    explode+agg form — one regex pass per doc, shuffle of k longs/doc."""
     docs = t(spark, sf_dir, "documents")
-    sig = DD.minhash_signature(F.col("text"), k=8)
-    return docs.select(
-        "doc_id", *[F.element_at(sig, j + 1).alias(f"mh_{j}") for j in range(8)]
+    return DD.minhash_signatures_df(docs, "doc_id", "text", k=8).withColumnRenamed(
+        "id", "doc_id"
     )
 
 

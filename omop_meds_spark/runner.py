@@ -6,18 +6,22 @@ Spark recast of the reference's batched main loop
 1. read + align the WAL files (schema registry evolves on new/renamed/
    widened columns),
 2. normalize (content sha256 via ``F.sha2`` — JVM-side, no Python),
-3. exactly-once dedup on event_id, then salted last-writer-wins per
-   (repo, path),
-4. MERGE into the bucketed snapshot table: only buckets touched by the
-   batch are read + rewritten (copy-on-write), tombstones retained,
-5. transactional commit (manifest with lineage + metrics + offsets);
-   an already-committed batch_id is a no-op → resume/replay safe.
+3. last-writer-wins per (repo, path) — exactly-once under redelivery
+   because identical duplicate copies cannot change a max_by winner
+   (see operators/upsert.py; explicit salting available via ``salted=``),
+4. MERGE into BOTH bucketed snapshot tables (source-mirror state +
+   MEDS-shaped target): only buckets touched by the batch are read +
+   rewritten (copy-on-write), tombstones retained,
+5. transactional commit per target (manifest with lineage + metrics +
+   per-bucket offsets); an already-committed batch_id is a no-op →
+   resume/replay safe, even if a crash lands between the two commits.
 
 Scale notes: per-batch cost is O(batch events + touched-bucket state); the
-state read is manifest-pruned to touched buckets; both the LWW agg and the
-merge shuffle hash-partition on the key, and the hot-repo skew is absorbed
-by the salted two-phase agg + AQE. Nothing in the loop collects data to the
-driver except the distinct touched-bucket ids (≤ n_buckets ints).
+state read is manifest-pruned to touched buckets; the LWW agg and the merge
+shuffle hash-partition on the key with map-side combine bounding hot-key
+fan-in, plus AQE. Exactly 3 Spark actions per batch (one combined stats
+pass that also materializes the winners cache, then one write per target);
+nothing collects to the driver except ≤ n_buckets² tiny stat rows.
 """
 
 from __future__ import annotations
@@ -28,8 +32,12 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.meds import MEDS_KEY_COLS, change_winners_to_meds
-from .operators.upsert import dedup_events, last_writer_wins, merge_state
+from .operators.meds import (
+    MEDS_KEY_COLS,
+    change_winners_to_meds,
+    meds_bucket_expr_from_change,
+)
+from .operators.upsert import last_writer_wins
 from .plans.align import SchemaRegistry
 from .schemas import (
     CANONICAL_RENAMES,
@@ -48,33 +56,38 @@ def merge_commit_target(
     batch_id: int,
     lineage: dict,
     schema_json: str | None = None,
+    bstats: list | None = None,
 ) -> dict:
-    """MERGE a per-key delta (one winner row per key, CDC envelope intact)
-    into a snapshot table and commit — the shared kernel behind both the
-    source-mirror state table and the MEDS-shaped target. One driver
-    round-trip (≤ n_buckets stat rows); reads only touched buckets."""
+    """Commit a per-key delta (one winner row per key, CDC envelope intact)
+    into a snapshot table — the shared kernel behind both the source-mirror
+    state table and the MEDS-shaped target. MERGE-ON-READ flavor: winners
+    are appended as a new delta generation, NO state read, NO rewrite
+    (write amplification O(batch), not O(state)); ``SnapshotTable.compact``
+    periodically folds generations and ``read_live`` LWW-reduces. ``bstats``
+    (rows with bucket/n/lo/hi under keys ``[BUCKET_COL, 'n', 'lo', 'hi']``)
+    may be precomputed by the caller to fold several targets' stats into
+    one Spark job."""
     if batch_id in table.committed_batches():
         return {"n_keys": 0, "seq_min": None, "seq_max": table.watermark(),
                 "skipped": True}
     delta = delta.withColumn(BUCKET_COL, bucket_expr(table.key_cols, table.n_buckets))
-    bstats = delta.groupBy(BUCKET_COL).agg(
-        F.count("*").alias("n"),
-        F.min("seq_no").alias("lo"),
-        F.max("seq_no").alias("hi"),
-    ).collect()
+    if bstats is None:
+        bstats = delta.groupBy(BUCKET_COL).agg(
+            F.count("*").alias("n"),
+            F.min("seq_no").alias("lo"),
+            F.max("seq_no").alias("hi"),
+        ).collect()
     if not bstats:  # empty batch still commits (marks batch_id applied)
-        table.commit_merged(delta, batch_id=batch_id, touched_buckets=[],
-                            watermark_seq=table.watermark(), lineage=lineage,
-                            schema_json=schema_json)
+        table.commit_delta(delta, batch_id=batch_id, touched_buckets=[],
+                           watermark_seq=table.watermark(), lineage=lineage,
+                           schema_json=schema_json)
         return {"n_keys": 0, "seq_min": None, "seq_max": table.watermark()}
     touched = sorted(int(r[BUCKET_COL]) for r in bstats)
     n_keys = sum(int(r["n"]) for r in bstats)
     seq_min = min(int(r["lo"]) for r in bstats)
     seq_max = max(int(r["hi"]) for r in bstats)
-    state = table.read(spark, buckets=touched)
-    merged = merge_state(state, delta, table.key_cols)
-    table.commit_merged(
-        merged,
+    table.commit_delta(
+        delta,
         batch_id=batch_id,
         touched_buckets=touched,
         watermark_seq=seq_max,
@@ -83,6 +96,65 @@ def merge_commit_target(
         offsets={int(r[BUCKET_COL]): int(r["hi"]) for r in bstats},
     )
     return {"n_keys": n_keys, "seq_min": seq_min, "seq_max": seq_max}
+
+
+LANG_CODE_MAP = {
+    "py": "LANG//python", "rs": "LANG//rust", "go": "LANG//go",
+    "js": "LANG//javascript", "java": "LANG//java", "c": "LANG//c",
+    "md": "LANG//markdown",
+}
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Event-normalization + code-mapping stage — the CDC recast of the
+    reference's convert/fixes stages (pre-MEDS NLP features
+    src/OMOP_MEDS/pre_meds_utils.py:949-1177, concept mapping :318-463),
+    exactly per the north rule: vectorized pandas/Arrow UDFs and DataFrame
+    ops only, no per-row Python.
+
+    * ``content_sha256`` — F.sha2 (JVM codegen; the per-row invariant),
+    * text analytics (token count, language ID, line metrics) — JVM regex /
+      array Columns (whole-stage codegen; the pandas-UDF twin
+      ``arrow_udfs.content_metrics`` is tested bit-equal and swaps in where
+      Python-side libraries are needed),
+    * ``lang_code`` — code-mapping via a closed-over Arrow-batched pandas
+      UDF (the concept-dictionary analogue; broadcast-join variant in
+      operators/joins.py for large dictionaries).
+
+    All derived columns persist into the state table (they are the
+    convert-stage output, not scratch) and are reproduced by the pandas
+    replay oracle.
+    """
+    from .functions import text as TX
+    from .functions.arrow_udfs import content_metrics_builtin, make_code_mapper
+
+    mapper = make_code_mapper(LANG_CODE_MAP)
+    c = F.col("content")
+    n_lines, _n_bytes, max_line_len = content_metrics_builtin(c)
+    return (
+        df.withColumn(CONTENT_HASH_COL, F.sha2(c, 256))
+        .withColumn("token_count", TX.token_count(c))
+        .withColumn("lang_pred", TX.lang_id(c))
+        .withColumn("n_lines", n_lines)
+        .withColumn("max_line_len", max_line_len)
+        .withColumn("lang_code", mapper(F.col("lang")))
+    )
+
+
+def _regroup(rows: list, bucket_field: str) -> list[dict]:
+    """Driver-side re-aggregation of the combined (state-bucket, meds-bucket)
+    stats to one target's per-bucket stats."""
+    acc: dict[int, dict] = {}
+    for r in rows:
+        b = int(r[bucket_field])
+        a = acc.get(b)
+        if a is None:
+            acc[b] = {BUCKET_COL: b, "n": int(r["n"]), "lo": int(r["lo"]), "hi": int(r["hi"])}
+        else:
+            a["n"] += int(r["n"])
+            a["lo"] = min(a["lo"], int(r["lo"]))
+            a["hi"] = max(a["hi"], int(r["hi"]))
+    return [acc[b] for b in sorted(acc)]
 
 
 class CDCRunner:
@@ -94,8 +166,14 @@ class CDCRunner:
         n_buckets: int = 32,
         files_per_batch: int = 4,
         n_salts: int = 16,
+        salted: bool = False,
+        compact_every: int = 8,
     ):
         self.spark = spark
+        self.salted = salted
+        # compact when a bucket accumulates this many delta generations —
+        # bounds read_live cost; compaction cost amortizes over batches
+        self.compact_every = compact_every
         self.reader = WalReader(wal_dir, files_per_batch)
         self.table = SnapshotTable(table_root, KEY_COLS, n_buckets)
         # MEDS-shaped target (subject_id, time, code, numeric_value, …) —
@@ -113,9 +191,7 @@ class CDCRunner:
 
     # ------------------------------------------------------------- stages
     def normalize(self, df: DataFrame) -> DataFrame:
-        """Vectorized normalization — content hash is F.sha2 (JVM, codegen);
-        the reference's per-row hashing needs never touch Python."""
-        return df.withColumn(CONTENT_HASH_COL, F.sha2(F.col("content"), 256))
+        return normalize_events(df)
 
     def apply_batch(self, batch: WalBatch) -> dict | None:
         """Apply one micro-batch to BOTH targets; returns metrics dict, or
@@ -130,20 +206,49 @@ class CDCRunner:
 
         events = self.reader.read_batch(self.spark, batch, self.registry)
         events = self.normalize(events)
-        events = dedup_events(events)
-        # winners feed two merges — persist so dedup+salted LWW run once.
-        winners = last_writer_wins(events, KEY_COLS, n_salts=self.n_salts, salted=True).persist()
+        # No explicit dropDuplicates shuffle: redelivered events carry an
+        # identical payload, and the LWW winner is max_by over (seq_no,
+        # event_id) — duplicate copies of a winner are indistinguishable, so
+        # the upsert is idempotent under at-least-once delivery without a
+        # dedicated dedup pass. (dedup_events stays available for sources
+        # whose duplicates are NOT byte-identical.)
+        # winners feed two merges — persist so the LWW shuffle runs once.
+        winners = last_writer_wins(
+            events, KEY_COLS, n_salts=self.n_salts, salted=self.salted
+        ).persist()
         try:
             lineage = {"files": list(batch.files), "schema_version": self.registry.version}
+            # ONE stats job for both targets: the MEDS bucket is a pure
+            # function of (repo, path), so a single grouped pass (also the
+            # action that materializes the winners cache) yields per-bucket
+            # stats for the state AND meds tables (≤ n_buckets² tiny rows).
+            combined = winners.groupBy(
+                bucket_expr(KEY_COLS, self.n_buckets).alias("bs"),
+                meds_bucket_expr_from_change(self.n_buckets).alias("bm"),
+            ).agg(
+                F.count("*").alias("n"),
+                F.min("seq_no").alias("lo"),
+                F.max("seq_no").alias("hi"),
+            ).collect()
+            stats_for = {
+                "bs": _regroup(combined, "bs"),
+                "bm": _regroup(combined, "bm"),
+            }
             stats = merge_commit_target(
                 self.spark, self.table, winners, batch.batch_id,
                 lineage=lineage, schema_json=self.registry.schema_json(),
+                bstats=stats_for["bs"],
             )
             merge_commit_target(
                 self.spark, self.meds_table, change_winners_to_meds(winners),
                 batch.batch_id, lineage={**lineage, "target": "meds"},
+                bstats=stats_for["bm"],
             )
-            n_events = events.count()
+            # footer-only count — no extra Spark pass over the batch
+            n_events = self.reader.footer_rows(batch)
+            for t in (self.table, self.meds_table):
+                if t.max_files_per_bucket() >= self.compact_every:
+                    t.compact(self.spark)
         finally:
             winners.unpersist()
         wall = time.monotonic() - t0

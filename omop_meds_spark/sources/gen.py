@@ -62,6 +62,7 @@ def generate_wal(
     hot_frac: float = 0.30,
     dup_frac: float = 0.01,
     delete_frac: float = 0.08,
+    row_group_size: int = 16_000,
 ) -> dict:
     """Write a deterministic WAL to ``out_dir``; returns a manifest dict."""
     out = Path(out_dir)
@@ -145,7 +146,9 @@ def generate_wal(
             data["language"] = data.pop("lang")  # renamed column from here on
         table = pa.table(data)
         fp = out / f"{f_idx:06d}.parquet"
-        pq.write_table(table, fp, row_group_size=64_000)
+        # small row groups keep scan parallelism ≥ cores even when a batch
+        # spans few files (row group = Spark's split granularity for parquet)
+        pq.write_table(table, fp, row_group_size=row_group_size)
         files.append({"file": fp.name, "rows": len(rows), "max_seq": max_seq})
 
     manifest = {
@@ -186,7 +189,58 @@ def replay_oracle(wal_dir: str | Path) -> "pa.Table":
         hashlib.sha256(c.encode()).hexdigest() if isinstance(c, str) else None
         for c in df["content"]
     ]
+    for name, series in _normalize_oracle(df["content"], df["lang"]).items():
+        df[name] = series
     return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+# pandas twins of runner.normalize_events — the convert-stage columns the
+# engine persists into state, reproduced independently for verification.
+_TOKEN_RX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+_LANG_STOP = {
+    "en": r"\b(?:the|and|of|to|is|that|with)\b",
+    "de": r"\b(?:der|die|das|und|ist|nicht|mit)\b",
+    "fr": r"\b(?:le|la|les|et|est|dans|pour)\b",
+    "es": r"\b(?:el|los|las|es|en|para|una)\b",
+}
+_LANG_PRIORITY = ["en", "de", "fr", "es"]
+_LANG_CODE_MAP = {
+    "py": "LANG//python", "rs": "LANG//rust", "go": "LANG//go",
+    "js": "LANG//javascript", "java": "LANG//java", "c": "LANG//c",
+    "md": "LANG//markdown",
+}
+
+
+def _normalize_oracle(content, lang) -> dict:
+    import re
+
+    import pandas as pd
+
+    def lang_pred(t: str) -> str:
+        low = t.lower()
+        scores = {k: len(re.findall(rx, low)) for k, rx in _LANG_STOP.items()}
+        best = max(scores.values())
+        if best <= 0:
+            return "und"
+        for k in _LANG_PRIORITY:
+            if scores[k] == best:
+                return k
+        return "und"
+
+    texts = ["" if not isinstance(t, str) else t for t in content]
+    return {
+        "token_count": pd.Series([len(re.findall(_TOKEN_RX, t)) for t in texts],
+                                 index=content.index, dtype="int64"),
+        "lang_pred": pd.Series([lang_pred(t) for t in texts], index=content.index),
+        "n_lines": pd.Series([len(t.split("\n")) for t in texts],
+                             index=content.index, dtype="int64"),
+        "max_line_len": pd.Series(
+            [max((len(x) for x in t.split("\n")), default=0) for t in texts],
+            index=content.index, dtype="int64"),
+        "lang_code": pd.Series(
+            [_LANG_CODE_MAP.get(v, "LANG//" + (v if isinstance(v, str) else "unknown"))
+             for v in lang], index=content.index),
+    }
 
 
 def meds_replay_oracle(wal_dir: str | Path) -> "pa.Table":

@@ -56,6 +56,13 @@ class WalReader:
         ``collect_shard_schemas``, pre_meds_data_loader.py:375-379)."""
         return [pq.read_schema(f) for f in batch.files]
 
+    @staticmethod
+    def footer_rows(batch: WalBatch) -> int:
+        """Footer-only row count for the batch — the reference's
+        ``estimate_rows`` (pre_meds_data_loader.py:213-225). Used for
+        throughput metrics so no Spark count job re-runs the read."""
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in batch.files)
+
     def read_batch(
         self, spark: SparkSession, batch: WalBatch, registry: SchemaRegistry
     ) -> DataFrame:

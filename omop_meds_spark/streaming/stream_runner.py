@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.meds import MEDS_KEY_COLS, change_winners_to_meds
-from ..operators.upsert import dedup_events, last_writer_wins
+from ..operators.upsert import last_writer_wins
 from ..plans.align import SchemaRegistry
 from ..runner import merge_commit_target
 from ..schemas import CANONICAL_RENAMES, CHANGE_EVENT_SCHEMA_V0, CONTENT_HASH_COL, KEY_COLS
@@ -65,8 +65,10 @@ class StreamingCDCRunner:
         n_buckets: int = 32,
         files_per_batch: int = 4,
         n_salts: int = 16,
+        salted: bool = False,
     ):
         self.spark = spark
+        self.salted = salted
         self.wal_dir = Path(wal_dir)
         self.table_root = Path(table_root)
         self.table = SnapshotTable(table_root, KEY_COLS, n_buckets)
@@ -111,21 +113,45 @@ class StreamingCDCRunner:
             return  # replayed micro-batch after checkpoint loss — no-op
         t0 = time.monotonic()
         batch = WalBatch(batch_id=batch_id, files=tuple(sorted(paths)))
+        from ..runner import normalize_events
+
         events = self._reader.read_batch(self.spark, batch, self.registry)
-        events = events.withColumn(CONTENT_HASH_COL, F.sha2(F.col("content"), 256))
-        events = dedup_events(events)
-        winners = last_writer_wins(events, KEY_COLS, n_salts=self.n_salts, salted=True).persist()
+        events = normalize_events(events)
+        # identical-payload redelivery needs no dedup shuffle — max_by over
+        # (seq_no, event_id) is idempotent under duplicate copies
+        winners = last_writer_wins(
+            events, KEY_COLS, n_salts=self.n_salts, salted=self.salted
+        ).persist()
         try:
+            from pyspark.sql import functions as FN
+
+            from ..operators.meds import meds_bucket_expr_from_change
+            from ..runner import _regroup
+            from ..table import bucket_expr
+
             lineage = {"files": list(batch.files),
                        "schema_version": self.registry.version, "mode": "streaming"}
+            combined = winners.groupBy(
+                bucket_expr(KEY_COLS, self.n_buckets).alias("bs"),
+                meds_bucket_expr_from_change(self.n_buckets).alias("bm"),
+            ).agg(
+                FN.count("*").alias("n"),
+                FN.min("seq_no").alias("lo"),
+                FN.max("seq_no").alias("hi"),
+            ).collect()
             stats = merge_commit_target(
                 self.spark, self.table, winners, batch_id,
                 lineage=lineage, schema_json=self.registry.schema_json(),
+                bstats=_regroup(combined, "bs"),
             )
             merge_commit_target(
                 self.spark, self.meds_table, change_winners_to_meds(winners),
                 batch_id, lineage={**lineage, "target": "meds"},
+                bstats=_regroup(combined, "bm"),
             )
+            for t in (self.table, self.meds_table):
+                if t.max_files_per_bucket() >= 8:
+                    t.compact(self.spark)
         finally:
             winners.unpersist()
         self.metrics.append(

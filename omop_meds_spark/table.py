@@ -119,17 +119,139 @@ class SnapshotTable:
             return None
         # Direct-file reads skip hive partition discovery, so the bucket
         # column is re-derived from the keys (same deterministic hash).
-        return spark.read.parquet(*files).withColumn(
+        # mergeSchema: a bucket's delta generations may span schema versions
+        # (merge-on-read) — union of columns, missing → null.
+        return spark.read.option("mergeSchema", "true").parquet(*files).withColumn(
             BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets)
         )
 
     def read_live(self, spark: SparkSession, buckets: list[int] | None = None,
                   op_col: str = "op") -> DataFrame | None:
-        """Current state minus delete tombstones (the user-facing table)."""
+        """Current state minus delete tombstones (the user-facing table).
+
+        Merge-on-read: LWW-reduces across a bucket's delta generations
+        (idempotent on already-compacted state — at most one row per key
+        survives either way); the reduce shuffle is bucket-local in spirit
+        (rows for a key live in one bucket's files)."""
         df = self.read(spark, buckets)
-        return None if df is None else df.filter(F.col(op_col) != "D").drop(BUCKET_COL)
+        if df is None:
+            return None
+        from .operators.upsert import last_writer_wins
+
+        tiebreak = "event_id" if "event_id" in df.columns else "seq_no"
+        reduced = last_writer_wins(df.drop(BUCKET_COL), self.key_cols,
+                                   tiebreak_col=tiebreak, salted=False)
+        return reduced.filter(F.col(op_col) != "D")
 
     # -------------------------------------------------------------- write
+    def commit_delta(
+        self,
+        delta: DataFrame,
+        batch_id: int,
+        touched_buckets: list[int],
+        watermark_seq: int,
+        lineage: dict | None = None,
+        metrics: dict | None = None,
+        schema_json: str | None = None,
+        offsets: dict[int, int] | None = None,
+    ) -> bool:
+        """Merge-on-read commit: append the batch's per-key winners as new
+        data files — NO state read, NO rewrite. Readers LWW-reduce across
+        a bucket's delta files (``read_live``); ``compact`` bounds the file
+        count. This is the hot-path commit (write amplification O(batch),
+        not O(state)); ``commit_merged`` remains the copy-on-write/compaction
+        commit."""
+        if batch_id in self.committed_batches():
+            return False
+        prev = self.latest()
+        # one file per bucket per generation (file count == generation
+        # count, which drives compaction); the repartition shuffles only
+        # the per-key winners (O(keys-in-batch), usually cached upstream)
+        delta = delta.repartition(max(len(touched_buckets), 1), F.col(BUCKET_COL))
+        new_files = self._write_bucketed(delta, f"b{batch_id:06d}", touched_buckets)
+        files = {b: list(fs) for b, fs in (prev["files"] if prev else {}).items()}
+        for b in touched_buckets:
+            files.setdefault(str(b), [])
+            files[str(b)] = files[str(b)] + new_files.get(str(b), [])
+        self._publish(prev, files, batch_id, watermark_seq, lineage, metrics,
+                      schema_json, offsets, add_committed=True)
+        return True
+
+    def compact(self, spark: SparkSession, key_reduce=None) -> bool:
+        """Rewrite every bucket to one generation (LWW-reduced, tombstones
+        retained). ``key_reduce(df) -> df`` defaults to the engine's LWW
+        kernel. No-op on an empty table."""
+        df = self.read(spark)
+        if df is None:
+            return False
+        if key_reduce is None:
+            from .operators.upsert import last_writer_wins
+
+            def key_reduce(d):
+                tiebreak = "event_id" if "event_id" in d.columns else "seq_no"
+                return last_writer_wins(d, self.key_cols, tiebreak_col=tiebreak,
+                                        salted=False)
+        reduced = key_reduce(df.drop(BUCKET_COL)).withColumn(
+            BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets)
+        )
+        prev = self.latest()
+        tag = f"compact{prev['version'] + 1:06d}"
+        touched = [int(b) for b in prev["files"]]
+        new_files = self._write_bucketed(
+            reduced.repartition(max(len(touched), 1), F.col(BUCKET_COL)), tag, touched
+        )
+        files = {b: fs for b, fs in new_files.items() if fs}
+        self._publish(prev, files, prev["batch_id"], prev.get("watermark_seq", -1),
+                      {"compaction": True}, None, None, None, add_committed=False)
+        return True
+
+    def _write_bucketed(self, df: DataFrame, tag: str, touched: list[int]) -> dict[str, list[str]]:
+        """Write one hive partition per touched bucket under data/{tag};
+        returns bucket -> relative file paths."""
+        staging = self.root / "data" / tag
+        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(staging))
+        out: dict[str, list[str]] = {}
+        for b in touched:
+            bdir = staging / f"{BUCKET_COL}={b}"
+            if bdir.exists():
+                out[str(b)] = sorted(
+                    str(p.relative_to(self.root)) for p in bdir.glob("*.parquet")
+                )
+        return out
+
+    def _publish(self, prev, files, batch_id, watermark_seq, lineage, metrics,
+                 schema_json, offsets, add_committed: bool) -> None:
+        committed = set(prev["committed"]) if prev else set()
+        if add_committed:
+            committed.add(batch_id)
+        prev_offsets = {int(b): s for b, s in (prev.get("offsets", {}) if prev else {}).items()}
+        for b, s in (offsets or {}).items():
+            prev_offsets[int(b)] = max(int(s), prev_offsets.get(int(b), -1))
+        lineage_all = dict(prev.get("lineage", {})) if prev else {}
+        if lineage is not None:
+            key = str(batch_id) if add_committed else f"compact_v{(prev['version'] + 1) if prev else 0}"
+            lineage_all[key] = lineage
+        manifest = {
+            "version": (prev["version"] + 1) if prev else 0,
+            "batch_id": batch_id,
+            "files": files,
+            "schema": schema_json or (prev.get("schema") if prev else None),
+            "committed": sorted(committed),
+            "watermark_seq": max(watermark_seq, prev.get("watermark_seq", -1) if prev else -1),
+            "offsets": {str(b): s for b, s in sorted(prev_offsets.items())},
+            "lineage": lineage_all,
+            "metrics": {**(prev.get("metrics", {}) if prev else {}),
+                        **({str(batch_id): metrics} if metrics else {})},
+            "committed_at": time.time(),
+        }
+        self._atomic_write_manifest(manifest)
+
+    def max_files_per_bucket(self) -> int:
+        m = self.latest()
+        if m is None:
+            return 0
+        return max((len(fs) for fs in m["files"].values()), default=0)
+
     def commit_merged(
         self,
         merged: DataFrame,

@@ -11,7 +11,12 @@ from omop_meds_spark import verify
 from omop_meds_spark.runner import CDCRunner
 from omop_meds_spark.sources.gen import generate_wal, meds_replay_oracle, replay_oracle
 
-FP_COLS = ["repo", "path", "commit", "lang", "size_bytes", "content_sha256", "seq_no"]
+FP_COLS = [
+    "repo", "path", "commit", "lang", "size_bytes", "content_sha256", "seq_no",
+    # convert-stage derived columns (runner.normalize_events), independently
+    # recomputed by the pandas oracle
+    "token_count", "lang_pred", "n_lines", "max_line_len", "lang_code",
+]
 MEDS_FP_COLS = ["subject_id", "time", "code", "numeric_value", "text_value", "seq_no"]
 
 
@@ -112,6 +117,34 @@ def test_per_partition_offsets_checkpointed(spark, tmpdir_path):
     assert max(off2.values()) == r.table.watermark()
 
 
+def test_compaction_preserves_state(spark, tmpdir_path):
+    """Merge-on-read: compaction folds delta generations to one per bucket
+    without changing the live state."""
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=4000, n_repos=8, paths_per_repo=20, n_files=8, seed=47)
+    r = CDCRunner(spark, wal, f"{tmpdir_path}/table", n_buckets=4,
+                  files_per_batch=1, compact_every=1000)  # no auto-compact
+    r.run()
+    assert r.table.max_files_per_bucket() > 1  # several delta generations
+    fp = verify.state_fingerprint(r.final_state(), FP_COLS)
+    assert r.table.compact(spark)
+    assert r.table.max_files_per_bucket() == 1
+    assert verify.state_fingerprint(r.final_state(), FP_COLS) == fp
+    assert fp == _oracle_fp(wal)
+    # committed batches unchanged — compaction is not a batch
+    assert r.table.committed_batches() == {b.batch_id for b in r.reader.plan_batches()}
+
+
+def test_auto_compaction_during_replay(spark, tmpdir_path):
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=4000, n_repos=8, paths_per_repo=20, n_files=8, seed=53)
+    r = CDCRunner(spark, wal, f"{tmpdir_path}/table", n_buckets=4,
+                  files_per_batch=1, compact_every=3)
+    r.run()
+    assert r.table.max_files_per_bucket() <= 3
+    assert verify.state_fingerprint(r.final_state(), FP_COLS) == _oracle_fp(wal)
+
+
 def test_schema_evolution_recorded(spark, tmpdir_path):
     wal = f"{tmpdir_path}/wal"
     generate_wal(wal, n_events=5000, n_repos=8, paths_per_repo=20, n_files=10, seed=19)
@@ -122,6 +155,8 @@ def test_schema_evolution_recorded(spark, tmpdir_path):
     assert "size_bytes" in [f.name for f in r.registry.target.fields]
     assert "language" not in [f.name for f in r.registry.target.fields]
     # lineage carries per-batch schema versions, monotonically increasing
+    # (batch keys are numeric; compaction records use "compact_v*" keys)
     m = r.table.latest()
-    versions = [m["lineage"][str(b)]["schema_version"] for b in sorted(map(int, m["lineage"]))]
+    batch_keys = sorted(int(k) for k in m["lineage"] if k.isdigit())
+    versions = [m["lineage"][str(b)]["schema_version"] for b in batch_keys]
     assert versions == sorted(versions)

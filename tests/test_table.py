@@ -71,6 +71,16 @@ def test_tombstones_hidden_from_live(spark, tmpdir_path):
     assert t.read_live(spark).count() == 1  # hidden from queries
 
 
+def test_torn_commit_invisible(spark, tmpdir_path):
+    """A crashed writer leaves only a tmp manifest — readers never see it."""
+    t = SnapshotTable(tmpdir_path, ["repo", "path"], n_buckets=4)
+    t.commit_merged(_df(spark, [("r1", "p1", 1, "U")]), 0, [0, 1, 2, 3], 1)
+    (Path(tmpdir_path) / "_log" / ".tmp.partial").write_text('{"version": 99}')
+    assert t.version == 0
+    assert t.committed_batches() == {0}
+    assert t.read_live(spark).count() == 1
+
+
 def test_manifest_is_atomic_and_versioned(spark, tmpdir_path):
     t = SnapshotTable(tmpdir_path, ["repo", "path"], n_buckets=4)
     for i in range(3):
