@@ -199,7 +199,10 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         distinct_tokens_col(text_col).alias("toks"),
-    )
+    ).repartition(F.col("blk"))
+    # the repartition exchange co-partitions the self-join on blk AND is
+    # reused by both join sides (ReuseExchange) — the regex tokenization
+    # runs once per document instead of once per side
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
