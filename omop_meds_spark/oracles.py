@@ -390,6 +390,12 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["windowed_event_counts"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
 _CM = """
 SELECT doc_id,
        len(string_split(text, chr(10)))::BIGINT AS n_lines,

@@ -272,6 +272,21 @@ def json_extract_props(spark, sf_dir):
     )
 
 
+def windowed_event_counts(spark, sf_dir):
+    """T6: tumbling-window throughput metrics — 1-hour windows per event
+    type (the batch semantics of the streaming metrics aggregation; the
+    streaming twin adds a watermark on the same expression)."""
+    ev = t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour")
+    return ev.groupBy(w.alias("w"), F.col("event_type")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        "event_type", "n_events", "n_users",
+    )
+
+
 def sessionize(spark, sf_dir):
     """Window sessionization: new session after a 30-minute gap."""
     ev = t(spark, sf_dir, "events")
@@ -468,6 +483,7 @@ ALL_QUERIES = {
     "code_templates": code_templates,
     "union_align": union_align,
     "json_extract_props": json_extract_props,
+    "windowed_event_counts": windowed_event_counts,
     "sessionize": sessionize,
     "meds_event_explosion": meds_event_explosion,
     "meds_code_counts": meds_code_counts,

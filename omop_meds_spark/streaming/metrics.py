@@ -1,0 +1,68 @@
+"""Streaming throughput metrics: watermarked tumbling-window aggregation.
+
+SURVEY T6: the engine's only windowed streaming need is throughput/lineage
+metrics — tumbling windows over the WAL's event time with a watermark to
+bound state. This is the genuine Structured Streaming watermark/window API
+(append mode emits a window only once the watermark passes its end — i.e.
+finalized, late-data-tolerant counts); the batch twin of the same
+aggregation is ``queries.windowed_event_counts``.
+
+Event time here derives from ``seq_no`` (the binlog position — a monotonic
+logical clock); a production deployment would use the source's commit
+timestamp column identically. Only never-drifting envelope columns are read,
+so a fixed stream schema is safe even across schema evolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq_no", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("repo", T.StringType()),
+    ]
+)
+
+
+def streaming_window_counts(
+    spark: SparkSession,
+    wal_dir: str,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    files_per_trigger: int = 4,
+) -> DataFrame:
+    """Build the watermarked windowed-count stream (caller starts it)."""
+    stream = (
+        spark.readStream.schema(STABLE_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(wal_dir)
+    )
+    ev = stream.withColumn("event_time", F.timestamp_seconds(F.col("seq_no")))
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"), F.col("op"))
+        .agg(F.count("*").alias("n_events"), F.approx_count_distinct("repo").alias("n_repos"))
+        .select(F.col("w.start").alias("window_start"), "op", "n_events", "n_repos")
+    )
+
+
+def run_to_memory(spark: SparkSession, wal_dir: str, name: str = "wal_metrics",
+                  timeout_s: float = 300.0, **kwargs) -> DataFrame:
+    """Drive the stream with Trigger.AvailableNow into an in-memory sink
+    (append mode → only watermark-finalized windows appear)."""
+    q = (
+        streaming_window_counts(spark, wal_dir, **kwargs)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return spark.table(name)

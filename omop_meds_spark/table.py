@@ -104,11 +104,19 @@ class SnapshotTable:
         m = self.latest()
         return {} if m is None else {int(b): s for b, s in m.get("offsets", {}).items()}
 
+    def manifest_at(self, version: int) -> dict | None:
+        p = self.root / "_log" / f"v{version:08d}.json"
+        return json.loads(p.read_text()) if p.exists() else None
+
     # --------------------------------------------------------------- read
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame | None:
-        """Read current state (optionally only the given buckets — manifest-
-        driven pruning, no directory listing)."""
-        m = self.latest()
+    def read(self, spark: SparkSession, buckets: list[int] | None = None,
+             version: int | None = None) -> DataFrame | None:
+        """Read table state (optionally only the given buckets — manifest-
+        driven pruning, no directory listing). ``version`` time-travels to
+        an earlier snapshot: data files are immutable and manifests are
+        append-only, so every historical version stays readable until a
+        vacuum (not implemented — nothing deletes files)."""
+        m = self.latest() if version is None else self.manifest_at(version)
         if m is None:
             return None
         files: list[str] = []
@@ -126,14 +134,14 @@ class SnapshotTable:
         )
 
     def read_live(self, spark: SparkSession, buckets: list[int] | None = None,
-                  op_col: str = "op") -> DataFrame | None:
+                  op_col: str = "op", version: int | None = None) -> DataFrame | None:
         """Current state minus delete tombstones (the user-facing table).
 
         Merge-on-read: LWW-reduces across a bucket's delta generations
         (idempotent on already-compacted state — at most one row per key
         survives either way); the reduce shuffle is bucket-local in spirit
         (rows for a key live in one bucket's files)."""
-        df = self.read(spark, buckets)
+        df = self.read(spark, buckets, version=version)
         if df is None:
             return None
         from .operators.upsert import last_writer_wins

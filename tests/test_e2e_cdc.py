@@ -117,6 +117,27 @@ def test_per_partition_offsets_checkpointed(spark, tmpdir_path):
     assert max(off2.values()) == r.table.watermark()
 
 
+def test_time_travel_reads_prefix_state(spark, tmpdir_path):
+    """Snapshot time travel: state at version k equals a replay of only the
+    first k+1 batches (immutable data files + append-only manifests)."""
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=4000, n_repos=8, paths_per_repo=20, n_files=4, seed=59)
+    r = CDCRunner(spark, wal, f"{tmpdir_path}/table", n_buckets=8, files_per_batch=2)
+    batches = r.reader.plan_batches()
+    r.apply_batch(batches[0])
+    # version 0 predates the size_bytes schema evolution — fingerprint the
+    # snapshot with its OWN schema's columns (align-on-read semantics)
+    cols_v0 = [c for c in FP_COLS if c != "size_bytes"]
+    fp_v0 = verify.state_fingerprint(r.final_state(), cols_v0)
+    r.apply_batch(batches[1])
+    # as-of read of version 0 still returns the batch-0-only state
+    asof = r.table.read_live(spark, version=0)
+    assert verify.state_fingerprint(asof, cols_v0) == fp_v0
+    # and the head moved on
+    assert verify.state_fingerprint(r.final_state(), cols_v0) != fp_v0
+    assert verify.state_fingerprint(r.final_state(), FP_COLS) == _oracle_fp(wal)
+
+
 def test_compaction_preserves_state(spark, tmpdir_path):
     """Merge-on-read: compaction folds delta generations to one per bucket
     without changing the live state."""
