@@ -194,7 +194,13 @@ def jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key.
-    Returns (id_a, id_b, jaccard) above threshold."""
+    Returns (id_a, id_b, jaccard) above threshold.
+
+    SCALE WARNING: the within-block self-join is quadratic in block size.
+    Only use with a high-cardinality blocking key whose block sizes stay
+    bounded as data grows; for corpus-wide near-dup detection use
+    :func:`jaccard_pairs_lsh`, whose candidate set comes from the banded
+    MinHash join (bucketed + capped, not all-pairs)."""
     t = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
@@ -217,3 +223,43 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_on_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard scored only on the given candidate pairs
+    (columns id_a < id_b). Two keyed equi-join shuffles, linear in
+    |candidates| + |corpus| — no quadratic block anywhere."""
+    t = df.select(F.col(id_col).alias("id"), distinct_tokens_col(text_col).alias("toks"))
+    a = t.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = t.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Corpus-wide exact-Jaccard near-dup pairs, candidate-generated by the
+    banded MinHash LSH join (the scale-safe composition: LSH recall gate →
+    exact verify). Replaces low-cardinality blocking keys, whose blocks grow
+    linearly with data and whose self-join is quadratic within a block."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, k=k, bands=bands, max_bucket=max_bucket)
+    return jaccard_on_candidates(df, cand, id_col, text_col, threshold)

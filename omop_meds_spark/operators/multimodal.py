@@ -128,14 +128,25 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
     return df.mapInPandas(body, FRAME_SCHEMA)
 
 
-def media_from_documents(docs: DataFrame) -> DataFrame:
+def media_from_documents(docs: DataFrame, ascii_safe: bool = False) -> DataFrame:
     """Adapter: treat document text bytes as opaque media payloads (the
-    testdata has no true binary column; the plumbing is payload-agnostic)."""
+    testdata has no true binary column; the plumbing is payload-agnostic).
+
+    ``ascii_safe=True`` replaces every non-printable-ASCII character with
+    ``?`` before encoding, so byte offsets == character offsets and byte-
+    window operators (frame sampling) admit an exact SQL oracle
+    (``substr`` windows). Caveat: Java regex negated classes match per
+    UTF-16 code unit, so an astral character would become two ``?`` where
+    a codepoint engine yields one — irrelevant for BMP text, documented
+    for parity."""
+    text = F.col("text")
+    if ascii_safe:
+        text = F.regexp_replace(text, r"[^\x20-\x7E]", "?")
     return docs.select(
         F.col("doc_id").cast("long").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
         .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
         .otherwise(F.lit("video/mp4"))
         .alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.encode(text, "UTF-8").alias("payload"),
     )

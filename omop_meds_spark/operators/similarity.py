@@ -113,11 +113,16 @@ def lsh_ann_topk(
     n_planes: int = 6,
     dim: int | None = None,
 ) -> DataFrame:
-    """ANN top-k restricted to same-bucket candidates."""
+    """ANN top-k restricted to same-bucket candidates.
+
+    ``dim`` (embedding dimensionality) is required — it parameterizes the
+    hyperplane dimension table and cannot be inferred from the schema
+    (``array<float>`` carries no length). Exact DuckDB oracle:
+    oracles.py ``ann_lsh_topk``."""
     from pyspark.sql import Window as W
 
     if dim is None:
-        dim = len(corpus.select(emb_col).first()[0])
+        raise ValueError("lsh_ann_topk requires explicit dim (embedding length)")
     planes = hyperplanes(spark, dim, n_planes)
     cb = lsh_bucket(corpus, planes, id_col, emb_col).withColumnRenamed("id", "neighbor_id")
     qb = lsh_bucket(queries, planes, id_col, emb_col).withColumnRenamed("id", "query_id")

@@ -368,17 +368,30 @@ SELECT doc_id,
 FROM h
 """
 
+# jaccard on LSH candidates: the banded-minhash candidate pairs (same CTEs
+# as minhash_lsh_pairs) exact-verified by token-set Jaccard.
 ORACLES["jaccard_pairs"] = f"""
-WITH t1 AS (
-  SELECT doc_id AS id, source AS blk, list_distinct({TOKS}) AS toks
+WITH sh AS ({_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+         {_MH}
+  FROM sh),
+banded AS (
+{_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+t1 AS (
+  SELECT doc_id AS id, list_distinct({TOKS}) AS toks
   FROM documents),
 p AS (
-  SELECT a.id AS id_a, b.id AS id_b,
+  SELECT c.id_a, c.id_b,
          CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
               THEN len(list_intersect(a.toks, b.toks))::DOUBLE
                    / len(list_distinct(list_concat(a.toks, b.toks)))
               ELSE 0.0 END AS jaccard
-  FROM t1 a JOIN t1 b ON a.blk = b.blk AND a.id < b.id)
+  FROM cand c JOIN t1 a ON c.id_a = a.id JOIN t1 b ON c.id_b = b.id)
 SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
 """
 
@@ -426,8 +439,56 @@ SELECT doc_id::BIGINT AS media_id,
        (16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240)::BIGINT AS height
 FROM documents
 """
-# media_frame_sample: rows-only by design (byte-window hashing over UTF-8
-# payloads is not expressible in DuckDB SQL — sha256 there is VARCHAR-only).
+# media_frame_sample: payloads are ASCII-sanitized in the query (non-
+# printable → '?'), so byte windows == character windows and the per-frame
+# sha256 is substr + sha256 in SQL. n frames = min(8, max(1, bytes // 64)).
+ORACLES["media_frame_sample"] = r"""
+WITH m AS (
+  SELECT doc_id::BIGINT AS media_id,
+         regexp_replace(text, '[^\x20-\x7E]', '?', 'g') AS s
+  FROM documents),
+n AS (SELECT media_id, s, least(8, greatest(1, length(s) // 64)) AS nf FROM m)
+SELECT media_id, r.range AS frame_idx,
+       sha256(substr(s, r.range * 64 + 1, 64)) AS frame_sha256
+FROM n JOIN range(8) r ON r.range < n.nf
+"""
+
+# LSH ANN: hyperplane weights are the same md5-60-bit arithmetic as the
+# minhash SQL ((md5_long(plane|dim) % 2001) - 1000); bucket = sign-bit
+# string over the 6 plane projections, ordered by plane; scoring = the
+# quantized int dot restricted to same-bucket candidates (twin of
+# operators/similarity.py lsh_ann_topk with n_planes=6, dim=64, k=5).
+ORACLES["ann_lsh_topk"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 10000)::BIGINT) AS e
+  FROM embeddings),
+hp AS (
+  SELECT p.range::INT AS plane, d.range::INT AS dim,
+         (('0x' || substr(md5(p.range::VARCHAR || '|' || d.range::VARCHAR), 1, 15))::BIGINT
+          % 2001) - 1000 AS w
+  FROM range(6) p, range(64) d),
+pl AS (SELECT plane, list(w ORDER BY dim) AS ws FROM hp GROUP BY plane),
+proj AS (
+  SELECT e.vec_id, pl.plane,
+         list_aggregate(list_transform(range(1, 65), i -> e.e[i] * pl.ws[i]), 'sum') AS dot
+  FROM e, pl),
+b AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
+  FROM proj GROUP BY vec_id),
+q AS (SELECT e.vec_id AS query_id, e.e AS qe, b.bucket
+      FROM e JOIN b USING (vec_id) WHERE vec_id < 10),
+c AS (SELECT e.vec_id AS neighbor_id, e.e AS ce, b.bucket
+      FROM e JOIN b USING (vec_id)),
+s AS (
+  SELECT query_id, neighbor_id,
+         (list_aggregate(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i]),
+                         'sum'))::BIGINT AS score
+  FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+"""
 
 _QE = "list_transform(embedding, x -> floor(x::DOUBLE * 10000)::BIGINT)"
 ORACLES["embedding_topk"] = f"""

@@ -383,9 +383,12 @@ def simhash_groups(spark, sf_dir):
 
 
 def jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard over source-blocked candidate pairs."""
+    """Exact token-set Jaccard verified on MinHash-LSH candidate pairs —
+    the scale-safe shape (LSH recall gate → exact verify). The earlier
+    low-cardinality blocking-key variant (quadratic within a block that
+    grows with data) is retained as DD.jaccard_pairs for bounded blocks."""
     docs = t(spark, sf_dir, "documents")
-    return DD.jaccard_pairs(docs, "doc_id", "text", block_col="source", threshold=0.8)
+    return DD.jaccard_pairs_lsh(docs, "doc_id", "text", threshold=0.8, k=8, bands=4)
 
 
 def binary_metadata(spark, sf_dir):
@@ -441,13 +444,13 @@ def media_decode(spark, sf_dir):
 
 
 def media_frame_sample(spark, sf_dir):
-    """mapInPandas frame sampling: 0..n rows out per media row (rows-only
-    oracle by design — byte-window hashing is not SQL-expressible when the
-    text is not pure ASCII)."""
+    """mapInPandas frame sampling: 0..n rows out per media row. The payload
+    is ASCII-sanitized (non-printable → '?') so byte windows == character
+    windows and the byte-window sha256 admits an exact DuckDB oracle."""
     from .operators.multimodal import media_from_documents, sample_frames
 
     docs = t(spark, sf_dir, "documents")
-    return sample_frames(media_from_documents(docs))
+    return sample_frames(media_from_documents(docs, ascii_safe=True))
 
 
 # ================================================================ similarity
@@ -459,8 +462,8 @@ def embedding_topk(spark, sf_dir):
 
 
 def ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (scale path; verified in tests against brute force —
-    rows-only oracle here by design)."""
+    """LSH-bucketed ANN (scale path; recall verified in tests against brute
+    force; bucket math + scoring have an exact DuckDB oracle)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.lsh_ann_topk(emb, queries, spark, k=5, n_planes=6, dim=64)
