@@ -124,3 +124,64 @@ def join_parent_codes(concept: DataFrame, concept_relationship: DataFrame) -> Da
         F.sort_array(F.collect_set("parent_code")).alias("parent_codes")
     )
     return concept.join(parents, "concept_id", "left")
+
+
+def extract_codes_metadata(concept: DataFrame, concept_relationship: DataFrame) -> DataFrame:
+    """J7/F12, reference-faithful: code-metadata table
+    (code, vocabulary_id, concept_id, description, parent_codes) exactly as
+    the reference builds it (pre_meds_utils.py:574-676):
+
+    * one output row PER 'Maps to' relationship (the reference left-joins
+      the un-aggregated relationship frame — a concept with N parents
+      yields N rows; no relationship yields one row with null parents),
+    * ``parent_codes`` is the parent's ``vocabulary_id//concept_code``
+      wrapped as a single-element list (string→list cast semantics:
+      null stays null),
+    * ``code`` is ``vocabulary_id//concept_id`` of the concept itself.
+
+    The aggregated (sorted, de-duplicated) variant is
+    :func:`join_parent_codes` — pick per downstream contract. The parent
+    dimension is broadcast (concept is dimension-sized); the rel→base join
+    is a keyed equi-join shuffle, linear at scale."""
+    base = concept.select(
+        F.col("concept_id").cast("long").alias("concept_id"),
+        F.col("vocabulary_id"),
+        F.col("concept_name").alias("description"),
+    )
+    parent_dim = concept.select(
+        F.col("concept_id").cast("long").alias("concept_id_2"),
+        F.concat(F.col("vocabulary_id"), F.lit("//"), F.col("concept_code")).alias("__pc"),
+    )
+    rels = concept_relationship.filter(F.col("relationship_id") == "Maps to").select(
+        F.col("concept_id_1").cast("long").alias("concept_id"),
+        F.col("concept_id_2").cast("long").alias("concept_id_2"),
+    )
+    parents = rels.join(F.broadcast(parent_dim), "concept_id_2", "left").select(
+        "concept_id",
+        F.when(F.col("__pc").isNotNull(), F.array(F.col("__pc"))).alias("parent_codes"),
+    )
+    return base.join(parents, "concept_id", "left").select(
+        F.concat(F.col("vocabulary_id"), F.lit("//"), F.col("concept_id").cast("string")).alias(
+            "code"
+        ),
+        "vocabulary_id",
+        "concept_id",
+        "description",
+        "parent_codes",
+    )
+
+
+def care_site_enrich(
+    fact: DataFrame,
+    care_site: DataFrame | None,
+    id_col: str = "care_site_id",
+    name_col: str = "care_site_name",
+) -> DataFrame:
+    """J8: broadcast-join care-site names onto a fact table, degrading to
+    the raw id when the dimension is unavailable (reference
+    pre_meds.py:252-283: missing/unreadable care_site table →
+    ``care_site_name = care_site_id``)."""
+    if care_site is None:
+        return fact.withColumn(name_col, F.col(id_col))
+    dim = care_site.select(F.col(id_col), F.col(name_col))
+    return fact.join(F.broadcast(dim), id_col, "left")

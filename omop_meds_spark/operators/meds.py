@@ -118,3 +118,26 @@ def code_occurrence_counts(events: DataFrame) -> DataFrame:
         F.count("*").alias("occurrence_count"),
         F.countDistinct("subject_id").alias("n_subjects"),
     )
+
+
+def subject_sorted_stream(
+    events: DataFrame,
+    subject_col: str = "subject_id",
+    order_cols: tuple[str, ...] = ("time", "code"),
+    n_shards: int = 32,
+) -> DataFrame:
+    """O2 with oracle-able output: deterministic subject→shard assignment
+    (cross-engine md5 hash — partition-layout-invariant, unlike
+    ``spark_partition_id``) plus the per-subject event position under the
+    merge stage's (time, …) order. ``merge_to_cohort`` is the physical
+    twin (repartition + sortWithinPartitions); this one materializes the
+    logical order as data so it can be verified row-for-row."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import md5_long
+
+    shard = F.pmod(md5_long(F.col(subject_col).cast("string")), F.lit(n_shards)).cast("int")
+    w = W.partitionBy(subject_col).orderBy(*[F.col(c) for c in order_cols])
+    return events.withColumn("shard_id", shard).withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    )

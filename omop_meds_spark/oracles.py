@@ -229,6 +229,50 @@ SELECT regexp_replace(code, '(//start|//end)$', '') AS base_code,
 FROM ev GROUP BY 1
 """
 
+ORACLES["codes_metadata"] = """
+WITH c AS (
+  SELECT p_partkey::BIGINT AS concept_id, p_brand AS vocabulary_id,
+         p_name AS description, p_type AS concept_code
+  FROM part),
+rel AS (
+  SELECT p_partkey::BIGINT AS concept_id_1,
+         ((p_partkey * 7) % 2000 + 1)::BIGINT AS concept_id_2,
+         CASE WHEN p_size % 3 = 0 THEN 'Maps to' ELSE 'Subsumes' END AS relationship_id
+  FROM part),
+pc AS (
+  SELECT r.concept_id_1 AS concept_id,
+         CASE WHEN (c2.vocabulary_id || '//' || c2.concept_code) IS NOT NULL
+              THEN [c2.vocabulary_id || '//' || c2.concept_code] END AS parent_codes
+  FROM rel r LEFT JOIN c c2 ON r.concept_id_2 = c2.concept_id
+  WHERE r.relationship_id = 'Maps to')
+SELECT c.vocabulary_id || '//' || c.concept_id::VARCHAR AS code,
+       c.vocabulary_id, c.concept_id, c.description,
+       to_json(pc.parent_codes)::VARCHAR AS parent_codes_json
+FROM c LEFT JOIN pc USING (concept_id)
+"""
+
+ORACLES["care_site_lookup"] = """
+SELECT s_suppkey, s_nationkey::BIGINT AS care_site_id, n_name AS care_site_name
+FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+"""
+
+ORACLES["meds_subject_shards"] = f"""
+SELECT user_id AS subject_id, event_id,
+       ({_md5l("user_id::VARCHAR")} % 8)::INT AS shard_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+FROM events
+"""
+
+ORACLES["subject_splits"] = f"""
+WITH s AS (SELECT DISTINCT user_id AS subject_id FROM events),
+h AS (SELECT subject_id, {_md5l("subject_id::VARCHAR")} % 1000 AS b FROM s)
+SELECT subject_id,
+       CASE WHEN b < 800 THEN 'train'
+            WHEN b < 900 THEN 'tuning'
+            ELSE 'held_out' END AS split
+FROM h
+"""
+
 ORACLES["text_features"] = f"""
 WITH b AS (
   SELECT doc_id, text,

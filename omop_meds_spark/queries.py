@@ -332,6 +332,72 @@ def meds_code_counts(spark, sf_dir):
     return code_occurrence_counts(_order_events(spark, sf_dir))
 
 
+# ==================================================== metadata / finalization
+def codes_metadata(spark, sf_dir):
+    """J7/F12 reference-faithful: extract_codes_metadata over a part-derived
+    concept dimension + synthetic 'Maps to' relationships (some targets
+    resolve, some don't → exercises the null-parent path; non-'Maps to'
+    rows exercise the relationship filter). parent_codes (array<string>)
+    is projected as JSON for the cross-engine value compare."""
+    from .operators.joins import extract_codes_metadata
+
+    part = t(spark, sf_dir, "part")
+    concept = part.select(
+        F.col("p_partkey").alias("concept_id"),
+        F.col("p_brand").alias("vocabulary_id"),
+        F.col("p_name").alias("concept_name"),
+        F.col("p_type").alias("concept_code"),
+    )
+    rel = part.select(
+        F.col("p_partkey").alias("concept_id_1"),
+        ((F.col("p_partkey") * 7) % 2000 + 1).alias("concept_id_2"),
+        F.when(F.col("p_size") % 3 == 0, F.lit("Maps to"))
+        .otherwise(F.lit("Subsumes"))
+        .alias("relationship_id"),
+    )
+    out = extract_codes_metadata(concept, rel)
+    return out.select(
+        "code", "vocabulary_id", "concept_id", "description",
+        F.to_json("parent_codes").alias("parent_codes_json"),
+    )
+
+
+def care_site_lookup(spark, sf_dir):
+    """J8: broadcast care-site enrichment (nation as the care-site
+    dimension); the degrade-to-id fallback is pinned in pytest."""
+    from .operators.joins import care_site_enrich
+
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").cast("long").alias("care_site_id")
+    )
+    cs = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("care_site_id"),
+        F.col("n_name").alias("care_site_name"),
+    )
+    return care_site_enrich(sup, cs)
+
+
+def meds_subject_shards(spark, sf_dir):
+    """O2/merge_to_MEDS_cohort semantics, materialized: deterministic
+    subject→shard hash + per-subject position under the merge order."""
+    from .operators.meds import subject_sorted_stream
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("subject_id"), "event_id", F.col("ts").alias("time")
+    )
+    out = subject_sorted_stream(ev, "subject_id", ("time", "event_id"), n_shards=8)
+    return out.select("subject_id", "event_id", "shard_id", "pos")
+
+
+def subject_splits(spark, sf_dir):
+    """split_and_shard_subjects analogue: deterministic hash split of
+    distinct subjects into train/tuning/held_out (80/10/10)."""
+    from .operators.finalize import assign_splits
+
+    ev = t(spark, sf_dir, "events").select(F.col("user_id").alias("subject_id"))
+    return assign_splits(ev)
+
+
 # ============================================================= text analytics
 def text_features(spark, sf_dir):
     """F15 vectorized: the full NLP feature block, zero Python."""
@@ -490,6 +556,10 @@ ALL_QUERIES = {
     "sessionize": sessionize,
     "meds_event_explosion": meds_event_explosion,
     "meds_code_counts": meds_code_counts,
+    "codes_metadata": codes_metadata,
+    "care_site_lookup": care_site_lookup,
+    "meds_subject_shards": meds_subject_shards,
+    "subject_splits": subject_splits,
     "text_features": text_features,
     "lang_id": lang_id,
     "quality_score": quality_score,
