@@ -163,3 +163,91 @@ def md5_long(col: F.Column) -> F.Column:
     """Cross-engine 60-bit integer hash: first 15 hex chars of md5.
     DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------- reference parity
+# The engine's primary feature definitions above deliberately differ from
+# the reference in two places (documented in the module docstring). The
+# ``*_ref`` variants below reproduce the reference's exact semantics
+# (src/OMOP_MEDS/pre_meds_utils.py:949-1051) and are pinned to its golden
+# values (tests/test_nlp_feature_extraction.py:36-46) in
+# tests/test_text_ref_parity.py:
+#
+# * sentence_count_ref — non-empty chunks after splitting on [.!?]+
+#   (reference: ``len([s for s in re.split(r"[.!?]+", text) if s.strip()])``)
+# * avg_word_length_ref — mean of per-word lengths with the chars ``.,!?;:``
+#   stripped from both ends (the reference's ``word.strip(".,!?;:")``)
+# * unique_word_count_ref / lexical_diversity_ref — distinct of
+#   lowercased+stripped words (empty strings count, as in the reference)
+# * punctuation_count_ref — the reference's wider class ``[.,!?;:\-()"']``
+#
+# Null handling: the reference coerces None/empty text to all-zero features;
+# the _ref variants compute over coalesce(text, '') to match. Ratios are
+# returned at full double precision — the reference's presentation-level
+# round(x, 2/3) is applied by callers (Python round is half-even while SQL
+# engines round half-up, so baking it in would break cross-engine parity).
+
+STRIP_EDGE_RX = r"^[.,!?;:]+|[.,!?;:]+$"
+PUNCT_REF_RX = r"""([.,!?;:\-()"'])"""
+
+
+def _strip_edge(w: F.Column) -> F.Column:
+    return F.regexp_replace(w, STRIP_EDGE_RX, "")
+
+
+def words_array(col) -> F.Column:
+    """The reference's ``text.split()`` word list (whitespace runs, no
+    empties)."""
+    return F.regexp_extract_all(F.coalesce(_c(col), F.lit("")), F.lit(WORD_RX), F.lit(1))
+
+
+def sentence_count_ref(col) -> F.Column:
+    chunks = F.split(F.coalesce(_c(col), F.lit("")), r"[.!?]+")
+    return F.size(F.filter(chunks, lambda s: s.rlike(r"\S"))).cast("long")
+
+
+def avg_word_length_ref(col) -> F.Column:
+    words = words_array(col)
+    total = F.aggregate(
+        F.transform(words, lambda w: F.length(_strip_edge(w))), F.lit(0), lambda a, x: a + x
+    )
+    wc = F.size(words)
+    return F.when(wc > 0, total.cast("double") / wc).otherwise(F.lit(0.0))
+
+
+def avg_sentence_length_ref(col) -> F.Column:
+    sc = sentence_count_ref(col)
+    wc = F.size(words_array(col))
+    return F.when(sc > 0, wc.cast("double") / sc).otherwise(F.lit(0.0))
+
+
+def unique_word_count_ref(col) -> F.Column:
+    words = words_array(col)
+    return F.size(
+        F.array_distinct(F.transform(words, lambda w: _strip_edge(F.lower(w))))
+    ).cast("long")
+
+
+def lexical_diversity_ref(col) -> F.Column:
+    wc = F.size(words_array(col))
+    return F.when(wc > 0, unique_word_count_ref(col).cast("double") / wc).otherwise(F.lit(0.0))
+
+
+def punctuation_count_ref(col) -> F.Column:
+    return _count(F.coalesce(_c(col), F.lit("")), PUNCT_REF_RX)
+
+
+def text_features_ref(col) -> list[F.Column]:
+    """The reference-semantics feature block (word/char counts are already
+    reference-identical in the primary block)."""
+    c = _c(col)
+    return [
+        F.size(words_array(c)).cast("long").alias("word_count"),
+        F.length(F.coalesce(c, F.lit(""))).cast("long").alias("char_count"),
+        sentence_count_ref(c).alias("sentence_count_ref"),
+        avg_word_length_ref(c).alias("avg_word_length_ref"),
+        avg_sentence_length_ref(c).alias("avg_sentence_length_ref"),
+        unique_word_count_ref(c).alias("unique_word_count_ref"),
+        lexical_diversity_ref(c).alias("lexical_diversity_ref"),
+        punctuation_count_ref(c).alias("punctuation_count_ref"),
+    ]

@@ -294,6 +294,37 @@ SELECT doc_id, char_count, word_count, sentence_count, punctuation_count,
 FROM b
 """
 
+# reference-exact NLP semantics (see functions/text.py *_ref block)
+_STRIP = "'^[.,!?;:]+|[.,!?;:]+$'"
+ORACLES["text_features_ref"] = rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\S+') AS words,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS word_count,
+         len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         s -> regexp_matches(s, '\S')))::BIGINT AS sentence_count_ref
+  FROM documents),
+b AS (
+  SELECT doc_id, word_count, sentence_count_ref,
+         length(text)::BIGINT AS char_count,
+         list_aggregate(list_transform(words,
+             x -> length(regexp_replace(x, {_STRIP}, '', 'g'))), 'sum') AS strip_total,
+         len(list_distinct(list_transform(words,
+             x -> regexp_replace(lower(x), {_STRIP}, '', 'g'))))::BIGINT AS unique_word_count_ref,
+         len(regexp_extract_all(text, '[.,!?;:\-()"'']'))::BIGINT AS punctuation_count_ref
+  FROM w)
+SELECT doc_id, word_count, char_count, sentence_count_ref,
+       CASE WHEN word_count > 0 THEN strip_total::DOUBLE / word_count
+            ELSE 0.0 END AS avg_word_length_ref,
+       CASE WHEN sentence_count_ref > 0 THEN word_count::DOUBLE / sentence_count_ref
+            ELSE 0.0 END AS avg_sentence_length_ref,
+       unique_word_count_ref,
+       CASE WHEN word_count > 0 THEN unique_word_count_ref::DOUBLE / word_count
+            ELSE 0.0 END AS lexical_diversity_ref,
+       punctuation_count_ref
+FROM b
+"""
+
 _LANG_RX = {
     "en": r"\b(the|and|of|to|is|that|with)\b",
     "de": r"\b(der|die|das|und|ist|nicht|mit)\b",

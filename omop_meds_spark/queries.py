@@ -405,6 +405,14 @@ def text_features(spark, sf_dir):
     return docs.select("doc_id", *TX.text_features(F.col("text")))
 
 
+def text_features_ref(spark, sf_dir):
+    """F15, reference-exact semantics (sentence chunks, edge-stripped word
+    lengths, the wider punctuation class) — golden-pinned against the
+    reference's published values in tests/test_text_ref_parity.py."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *TX.text_features_ref(F.col("text")))
+
+
 def lang_id(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
@@ -561,6 +569,7 @@ ALL_QUERIES = {
     "meds_subject_shards": meds_subject_shards,
     "subject_splits": subject_splits,
     "text_features": text_features,
+    "text_features_ref": text_features_ref,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count_by_source": token_count_by_source,
