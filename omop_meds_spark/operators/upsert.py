@@ -46,6 +46,37 @@ def dedup_events(df: DataFrame, event_id_col: str = "event_id") -> DataFrame:
     return df.dropDuplicates([event_id_col])
 
 
+def dedup_events_canonical(
+    df: DataFrame, key_cols: tuple[str, ...] = ("seq_no", "event_id")
+) -> DataFrame:
+    """Deterministic single-copy reduction for sources whose redelivered
+    copies may NOT be byte-identical — e.g. copies of one event straddling
+    a schema-registry widening align to different payloads (null vs
+    populated new column), which would make a downstream ``max_by`` between
+    equal (seq_no, event_id) orders pick nondeterministically.
+
+    Per (seq_no, event_id), keeps the MOST-POPULATED copy (fewest nulls),
+    tie-broken by the canonical JSON of the payload — a total order, so the
+    survivor is independent of partitioning and batch composition. One
+    extra keyed shuffle with map-side combine; opt-in via
+    ``CDCRunner(dedup=True)`` (see the runner's source contract)."""
+    data_cols = [c for c in df.columns if c not in key_cols]
+    score = None
+    for c in data_cols:
+        s = F.col(c).isNotNull().cast("int")
+        score = s if score is None else score + s
+    order = F.struct(
+        (score if score is not None else F.lit(0)).alias("populated"),
+        F.to_json(F.struct(*[F.col(c) for c in data_cols])).alias("canon"),
+    )
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.max_by(payload, order).alias("__row"))
+        .select("__row.*")
+    )
+
+
 def _winner_struct(df: DataFrame, key_cols: list[str], seq_col: str,
                    tiebreak_col: str) -> tuple[F.Column, F.Column]:
     payload_cols = [c for c in df.columns if c not in key_cols]

@@ -158,6 +158,20 @@ def _regroup(rows: list, bucket_field: str) -> list[dict]:
 
 
 class CDCRunner:
+    """Micro-batch CDC driver.
+
+    SOURCE CONTRACT (at-least-once delivery): redelivered copies of an
+    event must be byte-identical — then the LWW ``max_by`` over (seq_no,
+    event_id) is idempotent with NO dedup shuffle. If the source can
+    redeliver non-identical copies (the known case: copies of one event in
+    files that straddle a schema-registry widening, so one aligns with a
+    null new column and the other with a populated one), set
+    ``dedup=True``: each batch is first reduced to one deterministic copy
+    per (seq_no, event_id) — the most-populated copy, total-order
+    tie-broken (see ``operators.upsert.dedup_events_canonical``) — at the
+    cost of one extra keyed shuffle per batch.
+    """
+
     def __init__(
         self,
         spark: SparkSession,
@@ -168,9 +182,11 @@ class CDCRunner:
         n_salts: int = 16,
         salted: bool = False,
         compact_every: int = 8,
+        dedup: bool = False,
     ):
         self.spark = spark
         self.salted = salted
+        self.dedup = dedup
         # compact when a bucket accumulates this many delta generations —
         # bounds read_live cost; compaction cost amortizes over batches
         self.compact_every = compact_every
@@ -206,12 +222,14 @@ class CDCRunner:
 
         events = self.reader.read_batch(self.spark, batch, self.registry)
         events = self.normalize(events)
-        # No explicit dropDuplicates shuffle: redelivered events carry an
-        # identical payload, and the LWW winner is max_by over (seq_no,
-        # event_id) — duplicate copies of a winner are indistinguishable, so
-        # the upsert is idempotent under at-least-once delivery without a
-        # dedicated dedup pass. (dedup_events stays available for sources
-        # whose duplicates are NOT byte-identical.)
+        # Default: no dedup shuffle — the byte-identical-redelivery source
+        # contract (class docstring) makes max_by idempotent under
+        # at-least-once delivery. dedup=True inserts the deterministic
+        # canonical-copy reduction for sources that violate it.
+        if self.dedup:
+            from .operators.upsert import dedup_events_canonical
+
+            events = dedup_events_canonical(events)
         # winners feed two merges — persist so the LWW shuffle runs once.
         winners = last_writer_wins(
             events, KEY_COLS, n_salts=self.n_salts, salted=self.salted
@@ -246,9 +264,14 @@ class CDCRunner:
             )
             # footer-only count — no extra Spark pass over the batch
             n_events = self.reader.footer_rows(batch)
+            # incremental compaction: only buckets whose generation count
+            # hit the threshold are read + rewritten (O(hot buckets), not
+            # O(table) — a hot key can no longer trigger full-table rewrites
+            # from the hot loop)
             for t in (self.table, self.meds_table):
-                if t.max_files_per_bucket() >= self.compact_every:
-                    t.compact(self.spark)
+                hot = t.hot_buckets(self.compact_every)
+                if hot:
+                    t.compact(self.spark, buckets=hot)
         finally:
             winners.unpersist()
         wall = time.monotonic() - t0

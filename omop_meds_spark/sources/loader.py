@@ -86,12 +86,8 @@ def load_table(
         probe = files[0]
 
     if probe.name.endswith((".csv", ".csv.gz")):
-        df = (
-            spark.read.schema(schema)
-            .option("header", True)
-            .option("enforceSchema", True)
-            .csv(str(p))
-        )
+        df = _load_csv_by_name(spark, p, schema)
+        return _apply_selectors(df, select_names, select_patterns, drop_patterns)
     elif probe.name.endswith(".parquet"):
         # read with the file's own footer schema, then try_cast-project to
         # the declared one (permissive, like convert_to_schema_polars with
@@ -108,6 +104,58 @@ def load_table(
 
     df = df.toDF(*[c.lower() for c in df.columns])
     return _apply_selectors(df, select_names, select_patterns, drop_patterns)
+
+
+def _csv_header(path: Path) -> list[str]:
+    """Driver-side read of a CSV file's header row (handles .gz)."""
+    import csv
+    import gzip
+
+    opener = gzip.open if path.name.endswith(".gz") else open
+    with opener(path, "rt", newline="") as f:
+        return [c.strip().lower() for c in next(csv.reader(f))]
+
+
+def _load_csv_by_name(spark: SparkSession, p: Path, schema: T.StructType) -> DataFrame:
+    """CSV load that binds the declared schema BY NAME, not by position.
+
+    Spark's ``schema + header=True + enforceSchema=True`` binds positionally
+    and ignores header names — a shard whose column order differs from the
+    declared StructType would be silently misread. Like the reference
+    (``schema_overrides`` binds by name, pre_meds_data_loader.py:46-67),
+    each distinct header layout gets its own positional read schema built
+    FROM its header (declared type where the name is known, string
+    otherwise), then aligns to the declared schema (reorder + try_cast +
+    missing→null) and unions. Header reads are driver-side footer-style
+    peeks (one line per file); the data scan stays distributed."""
+    from functools import reduce
+
+    from ..plans.align import SchemaRegistry
+
+    files = (
+        sorted(x for x in p.iterdir() if x.is_file() and not x.name.startswith("_"))
+        if p.is_dir()
+        else [p]
+    )
+    declared = {f.name.lower(): f.dataType for f in schema.fields}
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for f in files:
+        groups.setdefault(tuple(_csv_header(f)), []).append(str(f))
+
+    reg = SchemaRegistry(target=schema)
+    parts = []
+    for header, paths in groups.items():
+        read_schema = T.StructType(
+            [T.StructField(h, declared.get(h, T.StringType()), True) for h in header]
+        )
+        part = (
+            spark.read.schema(read_schema)
+            .option("header", True)
+            .option("enforceSchema", True)
+            .csv(paths)
+        )
+        parts.append(reg.align(part))
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def _apply_selectors(df, select_names, select_patterns, drop_patterns):

@@ -21,10 +21,17 @@ stream restarts needed.
 
 Exactly-once: Spark's streaming checkpoint makes ``foreachBatch`` run
 at-least-once with a stable ``batch_id``; the SnapshotTable commit log
-refuses re-application of a committed ``batch_id``. The combination is
-exactly-once even if the streaming checkpoint is lost entirely (batch ids
-restart at 0, pointer order is deterministic, every replayed batch is a
-no-op against the table log).
+refuses re-application of a committed ``batch_id``. After a TOTAL
+checkpoint loss, batch ids restart at 0 — that replay is a safe no-op only
+if each renumbered batch carries the same file set as the committed batch
+with that id (true when the WAL and ``files_per_batch`` are unchanged,
+since pointer order is deterministic). The commit log therefore records
+each batch's file list, and a committed ``batch_id`` arriving with a
+DIFFERENT file set fails loudly instead of being silently skipped — the
+silent-skip would permanently drop the never-applied files (e.g. the WAL
+grew between loss and restart, or ``files_per_batch`` changed). Recovery
+from that state is explicit: a fresh checkpoint dir plus either the
+original batching config or a fresh table.
 
 Ordering: micro-batch boundaries and file order NEVER affect the final
 state — last-writer-wins is decided by ``seq_no`` (the WAL's total order)
@@ -104,9 +111,32 @@ class StreamingCDCRunner:
         return n
 
     # ----------------------------------------------------------- batch body
+    def _guard_fileset(self, batch_id: int, paths: list[str]) -> None:
+        """A committed batch_id must carry the file set it committed with.
+        Replay after checkpoint loss renumbers micro-batches from 0; if the
+        WAL grew or files_per_batch changed, a renumbered batch can collide
+        with a committed id while holding never-applied files — skipping it
+        would be silent data loss, so mismatches raise."""
+        incoming = sorted(str(Path(p).resolve()) for p in paths)
+        for tbl in (self.table, self.meds_table):
+            if batch_id not in tbl.committed_batches():
+                continue
+            m = tbl.latest() or {}
+            recorded = m.get("lineage", {}).get(str(batch_id), {}).get("files")
+            if recorded is not None and sorted(recorded) != incoming:
+                raise RuntimeError(
+                    f"batch_id {batch_id} already committed with a different "
+                    f"fileset (recorded {len(recorded)} files, incoming "
+                    f"{len(incoming)}) — streaming checkpoint was lost while "
+                    "the WAL or files_per_batch changed; refusing the silent "
+                    "skip. Restart with the original batching config, or "
+                    "re-ingest into a fresh table."
+                )
+
     def _apply_files(self, paths: list[str], batch_id: int) -> None:
         if not paths:
             return
+        self._guard_fileset(batch_id, paths)
         done_state = batch_id in self.table.committed_batches()
         done_meds = batch_id in self.meds_table.committed_batches()
         if done_state and done_meds:
@@ -150,8 +180,9 @@ class StreamingCDCRunner:
                 bstats=_regroup(combined, "bm"),
             )
             for t in (self.table, self.meds_table):
-                if t.max_files_per_bucket() >= 8:
-                    t.compact(self.spark)
+                hot = t.hot_buckets(8)
+                if hot:
+                    t.compact(self.spark, buckets=hot)
         finally:
             winners.unpersist()
         self.metrics.append(

@@ -185,11 +185,33 @@ class SnapshotTable:
                       schema_json, offsets, add_committed=True)
         return True
 
-    def compact(self, spark: SparkSession, key_reduce=None) -> bool:
-        """Rewrite every bucket to one generation (LWW-reduced, tombstones
-        retained). ``key_reduce(df) -> df`` defaults to the engine's LWW
-        kernel. No-op on an empty table."""
-        df = self.read(spark)
+    def hot_buckets(self, threshold: int) -> list[int]:
+        """Buckets whose delta-generation count (== file count) has reached
+        ``threshold`` — the compaction work list. O(manifest), no data read."""
+        m = self.latest()
+        if m is None:
+            return []
+        return sorted(int(b) for b, fs in m["files"].items() if len(fs) >= threshold)
+
+    def compact(self, spark: SparkSession, key_reduce=None,
+                buckets: list[int] | None = None) -> bool:
+        """Fold a bucket's delta generations into one (LWW-reduced,
+        tombstones retained). ``buckets=None`` compacts the whole table;
+        passing ``hot_buckets(threshold)`` makes compaction INCREMENTAL —
+        cost O(hot-bucket state), not O(table): only the listed buckets are
+        read (manifest-pruned) and rewritten; every other bucket's file list
+        carries over untouched. At 100 TB with 16k buckets a single hot
+        bucket compacts alone in seconds rather than forcing a full-table
+        rewrite. ``key_reduce(df) -> df`` defaults to the engine's LWW
+        kernel. No-op on an empty table or empty bucket list."""
+        prev = self.latest()
+        if prev is None:
+            return False
+        target = sorted(int(b) for b in prev["files"]) if buckets is None else sorted(buckets)
+        target = [b for b in target if str(b) in prev["files"]]
+        if not target:
+            return False
+        df = self.read(spark, buckets=target)
         if df is None:
             return False
         if key_reduce is None:
@@ -202,16 +224,53 @@ class SnapshotTable:
         reduced = key_reduce(df.drop(BUCKET_COL)).withColumn(
             BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets)
         )
-        prev = self.latest()
         tag = f"compact{prev['version'] + 1:06d}"
-        touched = [int(b) for b in prev["files"]]
         new_files = self._write_bucketed(
-            reduced.repartition(max(len(touched), 1), F.col(BUCKET_COL)), tag, touched
+            reduced.repartition(max(len(target), 1), F.col(BUCKET_COL)), tag, target
         )
-        files = {b: fs for b, fs in new_files.items() if fs}
+        files = {b: list(fs) for b, fs in prev["files"].items()}
+        for b in target:
+            if new_files.get(str(b)):
+                files[str(b)] = new_files[str(b)]
+            else:
+                files.pop(str(b), None)
+        files = {b: fs for b, fs in files.items() if fs}
         self._publish(prev, files, prev["batch_id"], prev.get("watermark_seq", -1),
-                      {"compaction": True}, None, None, None, add_committed=False)
+                      {"compaction": True, "buckets": target}, None, None, None,
+                      add_committed=False)
         return True
+
+    def vacuum(self, keep_versions: int = 2) -> dict:
+        """Retention-bounded cleanup: keep the latest ``keep_versions``
+        snapshots; delete every data file referenced ONLY by older
+        snapshots, then drop those older manifests. Time travel inside the
+        retention window keeps working (their files are preserved); older
+        versions disappear cleanly (``manifest_at`` → None) rather than
+        dangling. Driver-side file ops only — O(files), no Spark job."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        ms = self._manifests()
+        if len(ms) <= keep_versions:
+            return {"deleted_files": 0, "dropped_manifests": 0}
+        kept, dropped = ms[-keep_versions:], ms[:-keep_versions]
+        referenced: set[str] = set()
+        for p in kept:
+            m = json.loads(p.read_text())
+            for fs in m["files"].values():
+                referenced.update(fs)
+        deleted = 0
+        for f in (self.root / "data").rglob("*.parquet"):
+            rel = str(f.relative_to(self.root))
+            if rel not in referenced:
+                f.unlink()
+                deleted += 1
+        for p in dropped:
+            p.unlink()
+        # prune now-empty generation directories (cosmetic, keeps listings small)
+        for d in sorted((self.root / "data").rglob("*"), reverse=True):
+            if d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
+        return {"deleted_files": deleted, "dropped_manifests": len(dropped)}
 
     def _write_bucketed(self, df: DataFrame, tag: str, touched: list[int]) -> dict[str, list[str]]:
         """Write one hive partition per touched bucket under data/{tag};

@@ -98,3 +98,28 @@ def test_estimate_rows(tmpdir_path):
     for i in range(3):
         pq.write_table(pa.table({"x": list(range(10))}), d / f"{i}.parquet")
     assert estimate_rows(d) == 30
+
+
+def test_csv_binds_columns_by_name_not_position(spark, tmpdir_path):
+    """ADVICE: a shard whose column order differs from the declared schema
+    must load by header name (the reference binds via schema_overrides)."""
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    shard_dir = Path(tmpdir_path) / "people"
+    shard_dir.mkdir()
+    (shard_dir / "000000.csv").write_text("person_id,name,score\n1,alice,9.5\n")
+    # reordered header + an extra column in the second shard
+    (shard_dir / "000001.csv").write_text("score,person_id,extra,name\n2.5,2,x,bob\n")
+    schema = T.StructType(
+        [
+            T.StructField("person_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = load_table(spark, shard_dir, schema)
+    assert df.columns == ["person_id", "name", "score"]
+    got = {(r["person_id"], r["name"], r["score"]) for r in df.collect()}
+    assert got == {(1, "alice", 9.5), (2, "bob", 2.5)}

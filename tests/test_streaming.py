@@ -81,3 +81,27 @@ def test_batch_and_streaming_agree(spark, tmpdir_path):
     rs.run_available()
     assert verify.state_fingerprint(rb.final_state(), FP_COLS) == \
         verify.state_fingerprint(rs.final_state(), FP_COLS)
+
+
+def test_committed_batch_id_with_different_fileset_fails_loudly(spark, tmpdir_path):
+    """ADVICE: after checkpoint loss, a renumbered batch colliding with a
+    committed batch_id but holding DIFFERENT files must raise, not be
+    silently skipped (that would permanently drop the new files)."""
+    import pytest
+
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=3000, n_repos=8, paths_per_repo=20, n_files=4, seed=43)
+    table = f"{tmpdir_path}/table"
+    r1 = StreamingCDCRunner(spark, wal, table, n_buckets=8, files_per_batch=2)
+    r1.run_available()
+
+    # simulate checkpoint loss + changed batching: batch 0 now spans 3 files
+    files = sorted(str(p) for p in r1._reader.list_files())
+    r2 = StreamingCDCRunner(spark, wal, table, n_buckets=8, files_per_batch=3)
+    with pytest.raises(RuntimeError, match="different\\s+fileset"):
+        r2._apply_files(files[:3], 0)
+
+    # identical fileset replays stay a clean no-op
+    v = r2.table.version
+    r2._apply_files(files[:2], 0)
+    assert r2.table.version == v

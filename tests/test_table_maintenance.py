@@ -1,0 +1,152 @@
+"""Incremental compaction, schema-evolution compaction, vacuum, and the
+canonical dedup reduction."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from omop_meds_spark.table import BUCKET_COL, SnapshotTable, bucket_expr
+
+KEYS = ["repo", "path"]
+
+
+def _delta(spark, rows, n_buckets=4, schema="repo string, path string, seq_no long, op string"):
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
+
+
+def _touched(df):
+    return sorted({r[BUCKET_COL] for r in df.select(BUCKET_COL).distinct().collect()})
+
+
+def _live_rows(spark, t):
+    df = t.read_live(spark)
+    cols = sorted(df.columns)
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_incremental_compaction_only_rewrites_hot_buckets(spark, tmpdir_path):
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=4)
+    # one cold key committed once…
+    cold = _delta(spark, [("cold", "p", 1, "U")])
+    t.commit_delta(cold, 0, _touched(cold), 1)
+    cold_bucket = _touched(cold)[0]
+    # …then a hot key hammered with 8 delta generations
+    hot_bucket = None
+    for i in range(1, 9):
+        d = _delta(spark, [("hot", "p", 10 + i, "U")])
+        hot_bucket = _touched(d)[0]
+        t.commit_delta(d, i, _touched(d), 10 + i)
+    assert hot_bucket != cold_bucket, "fixture needs distinct buckets"
+
+    before = _live_rows(spark, t)
+    m0 = t.latest()
+    cold_files_before = list(m0["files"][str(cold_bucket)])
+    assert t.hot_buckets(8) == [hot_bucket]
+
+    assert t.compact(spark, buckets=[hot_bucket])
+    m1 = t.latest()
+    # hot bucket folded to one generation; cold bucket's files untouched
+    assert len(m1["files"][str(hot_bucket)]) == 1
+    assert m1["files"][str(cold_bucket)] == cold_files_before
+    assert _live_rows(spark, t) == before
+    assert t.hot_buckets(8) == []
+
+
+def test_compaction_across_schema_evolution_boundary(spark, tmpdir_path):
+    """A bucket whose delta generations span a schema widening (added
+    column) must compact losslessly: old-generation rows surface the new
+    column as null, and the LWW winner set is unchanged."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    for i in range(4):  # generation era 1: v0 schema
+        d = _delta(spark, [(f"r{j}", "p", i * 10 + j, "U") for j in range(6)], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i * 10 + 5)
+    wide = "repo string, path string, seq_no long, op string, size_bytes long"
+    for i in range(4, 8):  # era 2: widened schema
+        d = _delta(
+            spark,
+            [(f"r{j}", "p", i * 10 + j, "U", 100 + j) for j in range(3)],
+            n_buckets=2,
+            schema=wide,
+        )
+        t.commit_delta(d, i, _touched(d), i * 10 + 2)
+
+    before = _live_rows(spark, t)
+    assert any(len(fs) >= 8 for fs in t.latest()["files"].values())
+    assert t.compact(spark, buckets=t.hot_buckets(2))
+    after = _live_rows(spark, t)
+    assert after == before
+    # winners: r0..r2 overwritten in era 2 (size_bytes set), r3..r5 still
+    # era-1 (size_bytes null)
+    live = {r["repo"]: r["size_bytes"] for r in t.read_live(spark).collect()}
+    assert live == {"r0": 100, "r1": 101, "r2": 102, "r3": None, "r4": None, "r5": None}
+    assert all(len(fs) == 1 for fs in t.latest()["files"].values())
+
+
+def test_vacuum_retention_window(spark, tmpdir_path):
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    for i in range(5):
+        d = _delta(spark, [("r1", "p", i, "U")], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    v_latest = t.version
+    fp_latest = _live_rows(spark, t)
+    prev_live = t.read_live(spark, version=v_latest - 1)
+    fp_prev = {tuple(r[c] for c in sorted(prev_live.columns)) for r in prev_live.collect()}
+
+    n_files_before = len(list(Path(tmpdir_path, "data").rglob("*.parquet")))
+    out = t.vacuum(keep_versions=2)
+    # old manifests drop, but every delta file is still referenced by the
+    # kept manifests (commit_delta appends) — no data deleted yet
+    assert out["dropped_manifests"] == 3 and out["deleted_files"] == 0
+    # time travel inside the window still works…
+    assert _live_rows(spark, t) == fp_latest
+    inside = t.read_live(spark, version=v_latest - 1)
+    assert {tuple(r[c] for c in sorted(inside.columns)) for r in inside.collect()} == fp_prev
+    # …and pre-window versions are cleanly gone, not dangling
+    assert t.manifest_at(0) is None
+    assert t.read(spark, version=0) is None
+
+    # compaction orphans the old generations; a tight vacuum reclaims them
+    t.compact(spark)
+    out2 = t.vacuum(keep_versions=1)
+    assert out2["deleted_files"] == n_files_before  # every delta generation reclaimed
+    assert len(list(Path(tmpdir_path, "_log").glob("v*.json"))) == 1
+    assert _live_rows(spark, t) == fp_latest
+    # the latest-vs-previous row sets recorded before vacuum were distinct
+    assert fp_latest != fp_prev
+
+
+def test_dedup_events_canonical_prefers_populated_copy(spark):
+    """Non-byte-identical redelivery (schema-era straddle): the canonical
+    reduction keeps the most-populated copy, independent of partitioning."""
+    from omop_meds_spark.operators.upsert import dedup_events_canonical
+
+    schema = "repo string, path string, seq_no long, event_id long, size_bytes long"
+    rows = [
+        ("r1", "p", 5, 100, None),   # pre-widening copy
+        ("r1", "p", 5, 100, 777),    # post-widening copy (populated)
+        ("r2", "p", 6, 200, None),   # only one copy
+    ]
+    for reparts in (1, 7):
+        df = spark.createDataFrame(rows, schema).repartition(reparts)
+        got = {(r["event_id"], r["size_bytes"])
+               for r in dedup_events_canonical(df).collect()}
+        assert got == {(100, 777), (200, None)}
+
+
+def test_runner_dedup_flag_matches_default_on_clean_wal(spark, tmpdir_path):
+    """On a contract-respecting WAL the opt-in dedup changes nothing."""
+    from omop_meds_spark import verify
+    from omop_meds_spark.runner import CDCRunner
+    from omop_meds_spark.sources.gen import generate_wal
+
+    cols = ["repo", "path", "commit", "lang", "size_bytes", "content_sha256", "seq_no"]
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=3000, n_repos=8, paths_per_repo=20, n_files=4, seed=41)
+    r1 = CDCRunner(spark, wal, f"{tmpdir_path}/t1", n_buckets=8, files_per_batch=2)
+    r1.run()
+    r2 = CDCRunner(spark, wal, f"{tmpdir_path}/t2", n_buckets=8, files_per_batch=2,
+                   dedup=True)
+    r2.run()
+    assert verify.state_fingerprint(r1.final_state(), cols) == \
+        verify.state_fingerprint(r2.final_state(), cols)
