@@ -16,12 +16,14 @@ Spark recast of the reference's batched main loop
    per-bucket offsets); an already-committed batch_id is a no-op →
    resume/replay safe, even if a crash lands between the two commits.
 
-Scale notes: per-batch cost is O(batch events + touched-bucket state); the
-state read is manifest-pruned to touched buckets; the LWW agg and the merge
-shuffle hash-partition on the key with map-side combine bounding hot-key
-fan-in, plus AQE. Exactly 3 Spark actions per batch (one combined stats
-pass that also materializes the winners cache, then one write per target);
-nothing collects to the driver except ≤ n_buckets² tiny stat rows.
+Scale notes: per-batch cost is O(batch events); the apply path never reads
+state (merge-on-read); the LWW agg hash-partitions on the key with
+map-side combine bounding hot-key fan-in, plus AQE. Exactly 2 Spark
+actions per batch (the state-delta write, which materializes the winners
+cache, and the MEDS-delta write from cache); per-bucket stats, replay
+offsets, and the watermark come from the written parquet footers
+(metadata-only driver I/O) — nothing row-shaped ever collects to the
+driver.
 """
 
 from __future__ import annotations
@@ -32,11 +34,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.meds import (
-    MEDS_KEY_COLS,
-    change_winners_to_meds,
-    meds_bucket_expr_from_change,
-)
+from .operators.meds import MEDS_KEY_COLS, change_winners_to_meds
 from .operators.upsert import last_writer_wins
 from .plans.align import SchemaRegistry
 from .schemas import (
@@ -46,7 +44,7 @@ from .schemas import (
     KEY_COLS,
 )
 from .sources.wal import WalBatch, WalReader
-from .table import BUCKET_COL, SnapshotTable, bucket_expr
+from .table import SnapshotTable
 
 
 def merge_commit_target(
@@ -56,46 +54,24 @@ def merge_commit_target(
     batch_id: int,
     lineage: dict,
     schema_json: str | None = None,
-    bstats: list | None = None,
 ) -> dict:
     """Commit a per-key delta (one winner row per key, CDC envelope intact)
     into a snapshot table — the shared kernel behind both the source-mirror
     state table and the MEDS-shaped target. MERGE-ON-READ flavor: winners
     are appended as a new delta generation, NO state read, NO rewrite
     (write amplification O(batch), not O(state)); ``SnapshotTable.compact``
-    periodically folds generations and ``read_live`` LWW-reduces. ``bstats``
-    (rows with bucket/n/lo/hi under keys ``[BUCKET_COL, 'n', 'lo', 'hi']``)
-    may be precomputed by the caller to fold several targets' stats into
-    one Spark job."""
-    if batch_id in table.committed_batches():
+    periodically folds generations and ``read_live`` LWW-reduces. Bucket
+    stats / offsets / watermark come from the written parquet footers
+    (``commit_delta_auto``) — the write is the ONLY Spark action."""
+    st = table.commit_delta_auto(
+        delta, batch_id, lineage=lineage, schema_json=schema_json
+    )
+    if st is None:
         return {"n_keys": 0, "seq_min": None, "seq_max": table.watermark(),
                 "skipped": True}
-    delta = delta.withColumn(BUCKET_COL, bucket_expr(table.key_cols, table.n_buckets))
-    if bstats is None:
-        bstats = delta.groupBy(BUCKET_COL).agg(
-            F.count("*").alias("n"),
-            F.min("seq_no").alias("lo"),
-            F.max("seq_no").alias("hi"),
-        ).collect()
-    if not bstats:  # empty batch still commits (marks batch_id applied)
-        table.commit_delta(delta, batch_id=batch_id, touched_buckets=[],
-                           watermark_seq=table.watermark(), lineage=lineage,
-                           schema_json=schema_json)
-        return {"n_keys": 0, "seq_min": None, "seq_max": table.watermark()}
-    touched = sorted(int(r[BUCKET_COL]) for r in bstats)
-    n_keys = sum(int(r["n"]) for r in bstats)
-    seq_min = min(int(r["lo"]) for r in bstats)
-    seq_max = max(int(r["hi"]) for r in bstats)
-    table.commit_delta(
-        delta,
-        batch_id=batch_id,
-        touched_buckets=touched,
-        watermark_seq=seq_max,
-        lineage={**lineage, "seq_min": seq_min, "seq_max": seq_max, "n_keys": n_keys},
-        schema_json=schema_json,
-        offsets={int(r[BUCKET_COL]): int(r["hi"]) for r in bstats},
-    )
-    return {"n_keys": n_keys, "seq_min": seq_min, "seq_max": seq_max}
+    if st["seq_max"] is None:
+        st = {**st, "seq_max": table.watermark()}
+    return st
 
 
 LANG_CODE_MAP = {
@@ -139,22 +115,6 @@ def normalize_events(df: DataFrame) -> DataFrame:
         .withColumn("max_line_len", max_line_len)
         .withColumn("lang_code", mapper(F.col("lang")))
     )
-
-
-def _regroup(rows: list, bucket_field: str) -> list[dict]:
-    """Driver-side re-aggregation of the combined (state-bucket, meds-bucket)
-    stats to one target's per-bucket stats."""
-    acc: dict[int, dict] = {}
-    for r in rows:
-        b = int(r[bucket_field])
-        a = acc.get(b)
-        if a is None:
-            acc[b] = {BUCKET_COL: b, "n": int(r["n"]), "lo": int(r["lo"]), "hi": int(r["hi"])}
-        else:
-            a["n"] += int(r["n"])
-            a["lo"] = min(a["lo"], int(r["lo"]))
-            a["hi"] = max(a["hi"], int(r["hi"]))
-    return [acc[b] for b in sorted(acc)]
 
 
 class CDCRunner:
@@ -221,7 +181,6 @@ class CDCRunner:
         t0 = time.monotonic()
 
         events = self.reader.read_batch(self.spark, batch, self.registry)
-        events = self.normalize(events)
         # Default: no dedup shuffle — the byte-identical-redelivery source
         # contract (class docstring) makes max_by idempotent under
         # at-least-once delivery. dedup=True inserts the deterministic
@@ -230,37 +189,30 @@ class CDCRunner:
             from .operators.upsert import dedup_events_canonical
 
             events = dedup_events_canonical(events)
+        # LWW FIRST, normalize AFTER: the convert-stage columns (sha256,
+        # token/lang/line metrics, code mapping) are pure functions of the
+        # winner's payload and never influence winner choice (max_by over
+        # seq_no/event_id), so computing them on losers is pure waste — at
+        # steady state the overwhelming majority of events lose (~97% on the
+        # bench WAL). Ordering the plan winners-first cuts the sha256 +
+        # regex + Arrow-UDF work AND the shuffle payload by that factor.
         # winners feed two merges — persist so the LWW shuffle runs once.
-        winners = last_writer_wins(
-            events, KEY_COLS, n_salts=self.n_salts, salted=self.salted
+        winners = self.normalize(
+            last_writer_wins(events, KEY_COLS, n_salts=self.n_salts, salted=self.salted)
         ).persist()
         try:
             lineage = {"files": list(batch.files), "schema_version": self.registry.version}
-            # ONE stats job for both targets: the MEDS bucket is a pure
-            # function of (repo, path), so a single grouped pass (also the
-            # action that materializes the winners cache) yields per-bucket
-            # stats for the state AND meds tables (≤ n_buckets² tiny rows).
-            combined = winners.groupBy(
-                bucket_expr(KEY_COLS, self.n_buckets).alias("bs"),
-                meds_bucket_expr_from_change(self.n_buckets).alias("bm"),
-            ).agg(
-                F.count("*").alias("n"),
-                F.min("seq_no").alias("lo"),
-                F.max("seq_no").alias("hi"),
-            ).collect()
-            stats_for = {
-                "bs": _regroup(combined, "bs"),
-                "bm": _regroup(combined, "bm"),
-            }
+            # TWO Spark actions per batch, total: the state write (which
+            # also materializes the winners cache) and the MEDS write (from
+            # cache). All stats come from the written parquet footers — the
+            # former stats+cache job is gone.
             stats = merge_commit_target(
                 self.spark, self.table, winners, batch.batch_id,
                 lineage=lineage, schema_json=self.registry.schema_json(),
-                bstats=stats_for["bs"],
             )
             merge_commit_target(
                 self.spark, self.meds_table, change_winners_to_meds(winners),
                 batch.batch_id, lineage={**lineage, "target": "meds"},
-                bstats=stats_for["bm"],
             )
             # footer-only count — no extra Spark pass over the batch
             n_events = self.reader.footer_rows(batch)

@@ -73,18 +73,26 @@ class WalReader:
         read); per-file reads then use the footer schema explicitly —
         inference never runs (reference: infer_schema=False throughout).
         """
-        from pyspark.sql.types import StructType
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        file_schemas: dict[str, StructType] = {}
+        # Group files by their (identical) footer schema: a batch spanning
+        # S schema eras plans S scans instead of one per file. Catalyst
+        # analysis cost is driver-side and single-threaded — per-file
+        # subplans were a measurable fixed cost per batch at high
+        # parallelism (the scan itself is unchanged: same files, same
+        # distributed read).
+        groups: dict[str, tuple] = {}
         for f in batch.files:
-            arrow_schema = pq.read_schema(f)
-            spark_schema = from_arrow_schema(arrow_schema)
-            file_schemas[f] = spark_schema
+            spark_schema = from_arrow_schema(pq.read_schema(f))
             registry.evolve(spark_schema)
+            key = spark_schema.json()
+            if key in groups:
+                groups[key][1].append(f)
+            else:
+                groups[key] = (spark_schema, [f])
 
         parts = [
-            registry.align(spark.read.schema(file_schemas[f]).parquet(f))
-            for f in batch.files
+            registry.align(spark.read.schema(schema).parquet(*files))
+            for schema, files in groups.values()
         ]
         return reduce(lambda a, b: a.unionByName(b), parts)

@@ -94,12 +94,26 @@ class StreamingCDCRunner:
     def pointers_dir(self) -> Path:
         return self.table_root / "_stream_pointers"
 
+    # fixed epoch base for pointer mtimes (any constant in the past works;
+    # only the ORDER matters to the file source)
+    _PTR_EPOCH = 1_600_000_000
+
     def publish_pointers(self) -> int:
         """One tiny text file per WAL parquet file (idempotent). In a live
         deployment the WAL writer publishes these as it seals segments; here
         we derive them from the directory listing (sorted — deterministic
-        replay order, like the reference's sorted shard lists)."""
+        replay order, like the reference's sorted shard lists).
+
+        Spark's file stream source orders files by MODIFICATION TIME, not
+        name — pointer files written in the same millisecond would make
+        micro-batch composition nondeterministic across replays, silently
+        breaking the batch_id-keyed exactly-once log after checkpoint loss.
+        Each pointer therefore gets a pinned, strictly-increasing mtime
+        (epoch base + index): discovery order == lexicographic order on
+        every run, on every machine."""
         self.pointers_dir.mkdir(parents=True, exist_ok=True)
+        import os
+
         n = 0
         for i, p in enumerate(self._reader.list_files()):
             ptr = self.pointers_dir / f"{i:06d}.txt"
@@ -107,6 +121,8 @@ class StreamingCDCRunner:
                 tmp = ptr.with_suffix(".tmp")
                 tmp.write_text(str(p.resolve()))
                 tmp.rename(ptr)
+            t = self._PTR_EPOCH + i
+            os.utime(ptr, (t, t))
             n += 1
         return n
 
@@ -146,38 +162,22 @@ class StreamingCDCRunner:
         from ..runner import normalize_events
 
         events = self._reader.read_batch(self.spark, batch, self.registry)
-        events = normalize_events(events)
         # identical-payload redelivery needs no dedup shuffle — max_by over
-        # (seq_no, event_id) is idempotent under duplicate copies
-        winners = last_writer_wins(
-            events, KEY_COLS, n_salts=self.n_salts, salted=self.salted
+        # (seq_no, event_id) is idempotent under duplicate copies.
+        # LWW first, normalize only the winners (see CDCRunner.apply_batch).
+        winners = normalize_events(
+            last_writer_wins(events, KEY_COLS, n_salts=self.n_salts, salted=self.salted)
         ).persist()
         try:
-            from pyspark.sql import functions as FN
-
-            from ..operators.meds import meds_bucket_expr_from_change
-            from ..runner import _regroup
-            from ..table import bucket_expr
-
             lineage = {"files": list(batch.files),
                        "schema_version": self.registry.version, "mode": "streaming"}
-            combined = winners.groupBy(
-                bucket_expr(KEY_COLS, self.n_buckets).alias("bs"),
-                meds_bucket_expr_from_change(self.n_buckets).alias("bm"),
-            ).agg(
-                FN.count("*").alias("n"),
-                FN.min("seq_no").alias("lo"),
-                FN.max("seq_no").alias("hi"),
-            ).collect()
             stats = merge_commit_target(
                 self.spark, self.table, winners, batch_id,
                 lineage=lineage, schema_json=self.registry.schema_json(),
-                bstats=_regroup(combined, "bs"),
             )
             merge_commit_target(
                 self.spark, self.meds_table, change_winners_to_meds(winners),
                 batch_id, lineage={**lineage, "target": "meds"},
-                bstats=_regroup(combined, "bm"),
             )
             for t in (self.table, self.meds_table):
                 hot = t.hot_buckets(8)

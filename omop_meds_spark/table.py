@@ -185,6 +185,76 @@ class SnapshotTable:
                       schema_json, offsets, add_committed=True)
         return True
 
+    def commit_delta_auto(
+        self,
+        delta: DataFrame,
+        batch_id: int,
+        lineage: dict | None = None,
+        metrics: dict | None = None,
+        schema_json: str | None = None,
+        seq_col: str = "seq_no",
+    ) -> dict | None:
+        """Merge-on-read commit whose bucket stats come from the WRITTEN
+        parquet footers instead of a separate Spark aggregation job.
+
+        The write is the only action: one file per touched bucket
+        (repartition by the bucket column + partitionBy), then the driver
+        reads each new file's footer — row count and the ``seq_col``
+        column's min/max statistics — to derive touched buckets, per-bucket
+        replay offsets, and the watermark. Footer reads are metadata-only
+        local I/O (ms for tens of buckets); at 16k buckets they parallelize
+        trivially driver-side. This is the lakehouse-idiomatic shape:
+        column statistics already paid for by the parquet writer double as
+        the commit's lineage, the way Iceberg manifests carry per-file
+        column bounds.
+
+        Returns {n_keys, seq_min, seq_max} (None values when the batch was
+        empty), or None if ``batch_id`` was already committed."""
+        if batch_id in self.committed_batches():
+            return None
+        prev = self.latest()
+        if BUCKET_COL not in delta.columns:
+            delta = delta.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets))
+        delta = delta.repartition(self.n_buckets, F.col(BUCKET_COL))
+        staging = self.root / "data" / f"b{batch_id:06d}"
+        delta.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(staging))
+
+        import pyarrow.parquet as pq
+
+        new_files: dict[str, list[str]] = {}
+        offsets: dict[int, int] = {}
+        n_keys, seq_min, seq_max = 0, None, None
+        for bdir in sorted(staging.glob(f"{BUCKET_COL}=*")):
+            b = int(bdir.name.split("=", 1)[1])
+            fs = sorted(bdir.glob("*.parquet"))
+            if not fs:
+                continue
+            new_files[str(b)] = [str(p.relative_to(self.root)) for p in fs]
+            lo = hi = None
+            for f in fs:
+                md = pq.ParquetFile(f).metadata
+                n_keys += md.num_rows
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[seq_col]
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            if hi is not None:
+                offsets[b] = int(hi)
+                seq_min = int(lo) if seq_min is None else min(seq_min, int(lo))
+                seq_max = int(hi) if seq_max is None else max(seq_max, int(hi))
+
+        files = {b: list(fs) for b, fs in (prev["files"] if prev else {}).items()}
+        for b, fs in new_files.items():
+            files[b] = files.get(b, []) + fs
+        self._publish(
+            prev, files, batch_id,
+            seq_max if seq_max is not None else (prev.get("watermark_seq", -1) if prev else -1),
+            {**(lineage or {}), "seq_min": seq_min, "seq_max": seq_max, "n_keys": n_keys},
+            metrics, schema_json, offsets, add_committed=True,
+        )
+        return {"n_keys": n_keys, "seq_min": seq_min, "seq_max": seq_max}
+
     def hot_buckets(self, threshold: int) -> list[int]:
         """Buckets whose delta-generation count (== file count) has reached
         ``threshold`` — the compaction work list. O(manifest), no data read."""
