@@ -180,13 +180,18 @@ def cdc_trial_worker(wal: str, table_root: str, cores: int) -> None:
     spark.stop()
 
 
-def run_controlled(wal: Path, trials: int = 6) -> dict:
+def run_controlled(wal: Path, trials: int = 8) -> dict:
     """Phase-aligned N vs 4N measurement: one warm JVM per parallelism
-    level, the SAME 1.5M-event batch applied per trial, lo/hi runs
-    interleaved back-to-back (a pair completes inside ~40 s, well under the
+    level, the SAME 3M-event batch applied per trial, lo/hi runs
+    interleaved back-to-back (a pair completes inside ~50 s, well under the
     multi-minute host-phase period that dominates full-replay variance).
-    Efficiency per pair; headline = best pair (co-tenant interference is
-    one-sided — it can only lower a measurement), median alongside."""
+
+    Headline = MEDIAN efficiency over stall-filtered pairs: a pair is
+    discarded if either member's wall time exceeds 1.8x that side's median
+    (the box exhibits multi-second near-stalls; interference is one-sided,
+    so a stalled member can only corrupt the ratio — in either direction).
+    Raw trials, raw pair ratios, and the unfiltered best pair are all
+    recorded alongside."""
     import statistics
 
     lo_c, hi_c = SCALE_PAIR
@@ -222,14 +227,24 @@ def run_controlled(wal: Path, trials: int = 6) -> dict:
         procs[c].stdin.write("quit\n")
         procs[c].stdin.flush()
         procs[c].wait(timeout=60)
+    med = {c: statistics.median(r["wall_s"] for r in results[c]) for c in (lo_c, hi_c)}
+    clean = [
+        pairs[i]
+        for i in range(len(pairs))
+        if results[lo_c][i]["wall_s"] <= 1.8 * med[lo_c]
+        and results[hi_c][i]["wall_s"] <= 1.8 * med[hi_c]
+    ] or pairs
     out = {
         "protocol": "warm-JVM interleaved single-batch trials "
-                    f"(batch={results[hi_c][0]['n_events']} events, same batch both sides)",
+                    f"(batch={results[hi_c][0]['n_events']} events, same batch both sides); "
+                    "headline = median over stall-filtered pairs (member wall <= 1.8x side median)",
         "pair": {"N": lo_c, "4N": hi_c},
         "trials": results,
         "pair_efficiencies": pairs,
-        "scaling_efficiency_median": statistics.median(pairs),
-        "scaling_efficiency": max(pairs),
+        "pair_efficiencies_clean": clean,
+        "scaling_efficiency": round(statistics.median(clean), 3),
+        "scaling_efficiency_best": max(pairs),
+        "scaling_efficiency_median_raw": statistics.median(pairs),
     }
     for c in (lo_c, hi_c):
         vals = [r["events_per_s"] for r in results[c]]
@@ -345,11 +360,11 @@ def main() -> None:
         result["cdc_events_per_sec"] = full[f"local[{SCALE_PAIR[1]}]"][
             "steady_events_per_s_best"
         ]
-        # headline scaling number: the phase-aligned controlled protocol
-        # (full-replay pairs span multiple host phases and are recorded
-        # alongside as full_replay.scaling_efficiency)
+        # headline scaling number: the phase-aligned controlled protocol's
+        # stall-filtered MEDIAN (full-replay pairs span multiple host
+        # phases and are recorded alongside)
         result["scaling_efficiency"] = controlled["scaling_efficiency"]
-        result["scaling_efficiency_median"] = controlled["scaling_efficiency_median"]
+        result["scaling_efficiency_best"] = controlled["scaling_efficiency_best"]
         result["scaling_efficiency_full_replay"] = full["scaling_efficiency"]
     print(json.dumps(result))
 

@@ -263,6 +263,15 @@ SELECT user_id AS subject_id, event_id,
 FROM events
 """
 
+ORACLES["asof_join_latest"] = """
+WITH dim AS (
+  SELECT user_id % 50 AS k, ts AS price_ts, MAX(value) AS price
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+l AS (SELECT event_id, user_id % 50 AS k, ts FROM events)
+SELECT l.event_id, l.k, l.ts, d.price_ts AS matched_ts, d.price
+FROM l ASOF LEFT JOIN dim d ON l.k = d.k AND l.ts >= d.price_ts
+"""
+
 ORACLES["subject_splits"] = f"""
 WITH s AS (SELECT DISTINCT user_id AS subject_id FROM events),
 h AS (SELECT subject_id, {_md5l("subject_id::VARCHAR")} % 1000 AS b FROM s)

@@ -389,6 +389,27 @@ def meds_subject_shards(spark, sf_dir):
     return out.select("subject_id", "event_id", "shard_id", "pos")
 
 
+def asof_join_latest(spark, sf_dir):
+    """Point-in-time enrichment: every event picks the latest preceding
+    'purchase' price for its key group — no future leakage, ties included.
+    One keyed window pass (operators/temporal.py); DuckDB twin is a native
+    ASOF LEFT JOIN."""
+    from .operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id", (F.col("user_id") % 50).alias("k"), F.col("ts")
+    )
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy((F.col("user_id") % 50).alias("k"), F.col("ts").alias("price_ts"))
+        .agg(F.max("value").alias("price"))
+    )
+    return asof_join(left, dim, ["k"], "ts", "price_ts").select(
+        "event_id", "k", "ts", F.col("price_ts").alias("matched_ts"), "price"
+    )
+
+
 def subject_splits(spark, sf_dir):
     """split_and_shard_subjects analogue: deterministic hash split of
     distinct subjects into train/tuning/held_out (80/10/10)."""
@@ -568,6 +589,7 @@ ALL_QUERIES = {
     "care_site_lookup": care_site_lookup,
     "meds_subject_shards": meds_subject_shards,
     "subject_splits": subject_splits,
+    "asof_join_latest": asof_join_latest,
     "text_features": text_features,
     "text_features_ref": text_features_ref,
     "lang_id": lang_id,

@@ -1,0 +1,63 @@
+"""As-of join semantics: latest preceding right row, ties included, no
+future leakage, null when nothing precedes."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from omop_meds_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_preceding(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:00")),  # before any dim row → null
+            (2, "A", _ts("2024-01-01 12:00:00")),  # tie with dim@12:00 → included
+            (3, "A", _ts("2024-01-01 13:30:00")),  # between 12:00 and 14:00
+            (4, "A", _ts("2024-01-01 15:00:00")),  # after 14:00
+            (5, "B", _ts("2024-01-01 12:30:00")),  # other key
+            (6, "C", _ts("2024-01-01 12:30:00")),  # key with no dim rows at all
+        ],
+        "id long, k string, t timestamp",
+    )
+    dim = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 12:00:00"), 100.0),
+            ("A", _ts("2024-01-01 14:00:00"), 200.0),
+            ("B", _ts("2024-01-01 12:00:00"), 50.0),
+        ],
+        "k string, dim_t timestamp, price double",
+    )
+    out = asof_join(left, dim, ["k"], "t", "dim_t")
+    got = {r["id"]: (r["price"], r["dim_t"]) for r in out.collect()}
+    assert got[1] == (None, None)
+    assert got[2] == (100.0, _ts("2024-01-01 12:00:00"))
+    assert got[3] == (100.0, _ts("2024-01-01 12:00:00"))
+    assert got[4] == (200.0, _ts("2024-01-01 14:00:00"))
+    assert got[5] == (50.0, _ts("2024-01-01 12:00:00"))
+    assert got[6] == (None, None)
+    assert out.count() == 6  # left join: every left row survives
+
+
+def test_asof_join_partition_invariant(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(i, f"k{i % 7}", _ts("2024-01-01 00:00:00")) for i in range(100)]
+    left = spark.createDataFrame(rows, "id long, k string, t timestamp").withColumn(
+        "t", F.col("t") + F.make_interval(mins=F.col("id"))
+    )
+    dim = left.filter(F.col("id") % 10 == 0).select(
+        "k", F.col("t").alias("dim_t"), (F.col("id") * 1.5).alias("v")
+    )
+    a = {tuple(r) for r in asof_join(left, dim, ["k"], "t", "dim_t").collect()}
+    b = {
+        tuple(r)
+        for r in asof_join(
+            left.repartition(13).orderBy(F.rand(seed=5)), dim.repartition(3), ["k"], "t", "dim_t"
+        ).collect()
+    }
+    assert a == b
