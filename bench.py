@@ -53,6 +53,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "text_features",
     "embedding_topk",
+    "asof_join_latest",
 ]
 
 

@@ -62,6 +62,23 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("status", help="print snapshot-table status (no Spark)")
     s.add_argument("--table", required=True)
 
+    c = sub.add_parser("compact", help="fold hot buckets' delta generations")
+    c.add_argument("--table", required=True)
+    c.add_argument("--cores", type=int, default=None)
+    c.add_argument("--threshold", type=int, default=2,
+                   help="compact buckets with >= this many generations")
+
+    v = sub.add_parser("vacuum", help="drop data/manifests outside the retention window")
+    v.add_argument("--table", required=True)
+    v.add_argument("--keep-versions", type=int, default=2)
+
+    fz = sub.add_parser("finalize", help="write metadata/{dataset.json,codes,subject_splits}")
+    fz.add_argument("--table", required=True, help="CDC table root (reads the live MEDS target)")
+    fz.add_argument("--out", required=True)
+    fz.add_argument("--name", default="omop_meds_spark_dataset")
+    fz.add_argument("--version", default="0.1")
+    fz.add_argument("--cores", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
@@ -88,6 +105,41 @@ def main(argv: list[str] | None = None) -> int:
             "offsets": m.get("offsets", {}),
             "buckets": len(m.get("files", {})),
         }))
+        return 0
+
+    if args.cmd == "vacuum":
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        print(json.dumps(SnapshotTable(args.table, KEY_COLS).vacuum(args.keep_versions)))
+        return 0
+
+    if args.cmd == "compact":
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        spark = _session(args.cores)
+        t = SnapshotTable(args.table, KEY_COLS)
+        hot = t.hot_buckets(args.threshold)
+        done = t.compact(spark, buckets=hot) if hot else False
+        print(json.dumps({"compacted_buckets": hot if done else []}))
+        return 0
+
+    if args.cmd == "finalize":
+        from pathlib import Path
+
+        from .operators.finalize import finalize_metadata
+        from .operators.meds import MEDS_KEY_COLS
+        from .table import SnapshotTable
+
+        spark = _session(args.cores)
+        meds = SnapshotTable(Path(args.table) / "meds", MEDS_KEY_COLS)
+        live = meds.read_live(spark)
+        if live is None:
+            print(json.dumps({"error": "empty MEDS target"}))
+            return 1
+        meta = finalize_metadata(live, args.out, args.name, args.version)
+        print(json.dumps(meta))
         return 0
 
     spark = _session(args.cores)

@@ -137,19 +137,31 @@ class SnapshotTable:
                   op_col: str = "op", version: int | None = None) -> DataFrame | None:
         """Current state minus delete tombstones (the user-facing table).
 
-        Merge-on-read: LWW-reduces across a bucket's delta generations
-        (idempotent on already-compacted state — at most one row per key
-        survives either way); the reduce shuffle is bucket-local in spirit
-        (rows for a key live in one bucket's files)."""
+        Merge-on-read: LWW-reduces across a bucket's delta generations.
+        FAST PATH: every data file holds at most one row per key (delta
+        files are per-batch winners, compaction files are fully reduced),
+        so a bucket with exactly ONE generation needs no reduce at all —
+        when every requested bucket is single-generation (the steady state
+        right after compaction), the plan is scan + tombstone filter with
+        ZERO exchanges. Otherwise the LWW reduce shuffles once on the key;
+        at 100 TB the scheduled compaction keeps most reads on the fast
+        path."""
+        m = self.latest() if version is None else self.manifest_at(version)
+        if m is None:
+            return None
+        wanted = (b for b in m["files"] if buckets is None or int(b) in buckets)
+        single_gen = all(len(m["files"][b]) == 1 for b in wanted)
         df = self.read(spark, buckets, version=version)
         if df is None:
             return None
-        from .operators.upsert import last_writer_wins
+        df = df.drop(BUCKET_COL)
+        if not single_gen:
+            from .operators.upsert import last_writer_wins
 
-        tiebreak = "event_id" if "event_id" in df.columns else "seq_no"
-        reduced = last_writer_wins(df.drop(BUCKET_COL), self.key_cols,
-                                   tiebreak_col=tiebreak, salted=False)
-        return reduced.filter(F.col(op_col) != "D")
+            tiebreak = "event_id" if "event_id" in df.columns else "seq_no"
+            df = last_writer_wins(df, self.key_cols, tiebreak_col=tiebreak,
+                                  salted=False)
+        return df.filter(F.col(op_col) != "D")
 
     # -------------------------------------------------------------- write
     def commit_delta(

@@ -150,3 +150,22 @@ def test_runner_dedup_flag_matches_default_on_clean_wal(spark, tmpdir_path):
     r2.run()
     assert verify.state_fingerprint(r1.final_state(), cols) == \
         verify.state_fingerprint(r2.final_state(), cols)
+
+
+def test_read_live_fast_path_after_compaction(spark, tmpdir_path):
+    """A fully-compacted table's read_live plan carries NO exchange (scan +
+    tombstone filter only) and returns the same rows as the reduce path."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    for i in range(4):
+        d = _delta(spark, [(f"r{j}", "p", i * 10 + j, "U" if j else "D")
+                           for j in range(5)], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i * 10 + 4)
+    before = _live_rows(spark, t)
+    multi_plan = t.read_live(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in multi_plan  # multi-generation: reduce shuffle present
+
+    t.compact(spark)
+    after_df = t.read_live(spark)
+    assert _live_rows(spark, t) == before
+    fast_plan = after_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in fast_plan  # single-generation: zero exchanges
