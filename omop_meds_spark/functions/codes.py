@@ -73,3 +73,16 @@ def determine_concept_id(
     )
     code = F.coalesce(first_c, second_c, fallback)
     return vocab, code
+
+
+# P6: custom concepts sit above a fixed id threshold (reference:
+# pre_meds_utils.py "Assuming custom concepts have concept_id >
+# 2000000000", pre_meds_utils.py:640-646)
+CUSTOM_CONCEPT_ID_START = 2_000_000_000
+
+
+def is_custom_concept(concept_id_col) -> "F.Column":
+    from pyspark.sql import functions as F
+
+    c = F.col(concept_id_col) if isinstance(concept_id_col, str) else concept_id_col
+    return c > F.lit(CUSTOM_CONCEPT_ID_START)

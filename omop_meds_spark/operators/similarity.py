@@ -143,3 +143,50 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    spark,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup family):
+    LSH-bucketed candidate generation (same hyperplane buckets as the ANN
+    path — only same-bucket pairs are scored, never all-pairs) + exact
+    quantized-cosine verification.
+
+    Cosine = int_dot / (sqrt(|a|²) * sqrt(|b|²)) over the floor-quantized
+    vectors — integer dots and squared norms are exact, and IEEE sqrt /
+    multiply / divide are correctly rounded, so the double is bit-identical
+    across engines (exact DuckDB oracle: ``embedding_near_dup``).
+
+    Scale: the bucket join shuffles on the bucket key; random-hyperplane
+    buckets split the corpus ~2^n_planes ways, so within-bucket pair
+    counts stay bounded as n_planes grows with corpus size (the same
+    recall/cost dial as the ANN path)."""
+    if dim is None:
+        raise ValueError("cosine_near_dup_pairs requires explicit dim")
+    planes = hyperplanes(spark, dim, n_planes)
+    buckets = lsh_bucket(corpus, planes, id_col, emb_col)
+    q = corpus.select(F.col(id_col).alias("id"), quantized_col(emb_col).alias("e")).join(
+        buckets, "id"
+    )
+    a = q.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), "bucket")
+    b = q.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), "bucket")
+
+    def norm(e: F.Column) -> F.Column:
+        return F.sqrt(int_dot(e, e).cast("double"))
+
+    cos = int_dot(F.col("ea"), F.col("eb")).cast("double") / (
+        norm(F.col("ea")) * norm(F.col("eb"))
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

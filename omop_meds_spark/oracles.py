@@ -574,6 +574,37 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
 """
 
+# cosine near-dup: same bucket CTEs as ann_lsh_topk; exact quantized cosine
+# (int dot + IEEE sqrt/mul/div are bit-identical across engines)
+ORACLES["embedding_near_dup"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 10000)::BIGINT) AS e
+  FROM embeddings),
+hp AS (
+  SELECT p.range::INT AS plane, d.range::INT AS dim,
+         (('0x' || substr(md5(p.range::VARCHAR || '|' || d.range::VARCHAR), 1, 15))::BIGINT
+          % 2001) - 1000 AS w
+  FROM range(6) p, range(64) d),
+pl AS (SELECT plane, list(w ORDER BY dim) AS ws FROM hp GROUP BY plane),
+proj AS (
+  SELECT e.vec_id, pl.plane,
+         list_aggregate(list_transform(range(1, 65), i -> e.e[i] * pl.ws[i]), 'sum') AS dot
+  FROM e, pl),
+b AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
+  FROM proj GROUP BY vec_id),
+q AS (SELECT e.vec_id AS id, e.e, b.bucket FROM e JOIN b USING (vec_id)),
+p AS (
+  SELECT a.id AS id_a, bb.id AS id_b,
+         (list_aggregate(list_transform(range(1, 65), i -> a.e[i] * bb.e[i]), 'sum'))::DOUBLE
+         / (sqrt((list_aggregate(list_transform(range(1, 65), i -> a.e[i] * a.e[i]), 'sum'))::DOUBLE)
+            * sqrt((list_aggregate(list_transform(range(1, 65), i -> bb.e[i] * bb.e[i]), 'sum'))::DOUBLE))
+         AS cosine
+  FROM q a JOIN q bb ON a.bucket = bb.bucket AND a.id < bb.id)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.2
+"""
+
 _QE = "list_transform(embedding, x -> floor(x::DOUBLE * 10000)::BIGINT)"
 ORACLES["embedding_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, {_QE} AS qe FROM embeddings WHERE vec_id < 10),

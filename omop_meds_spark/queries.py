@@ -564,6 +564,13 @@ def ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_ann_topk(emb, queries, spark, k=5, n_planes=6, dim=64)
 
 
+def embedding_near_dup(spark, sf_dir):
+    """Fifth dedup family: embedding-cosine near-dup pairs, LSH-bucket
+    candidates + exact quantized-cosine verify (never all-pairs)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.cosine_near_dup_pairs(emb, spark, threshold=0.2, n_planes=6, dim=64)
+
+
 ALL_QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -608,4 +615,5 @@ ALL_QUERIES = {
     "media_frame_sample": media_frame_sample,
     "embedding_topk": embedding_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "embedding_near_dup": embedding_near_dup,
 }

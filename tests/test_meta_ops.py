@@ -171,3 +171,14 @@ def test_finalize_metadata_artifacts_and_split_determinism(spark, tmpdir_path):
     again = assign_splits(ev.orderBy(F.rand(seed=3)).repartition(13))
     base = {(r["subject_id"], r["split"]) for r in splits.collect()}
     assert {(r["subject_id"], r["split"]) for r in again.collect()} == base
+
+
+def test_custom_concept_threshold(spark):
+    """P6: the >2e9 custom-concept gate."""
+    from omop_meds_spark.functions.codes import is_custom_concept
+
+    df = spark.createDataFrame(
+        [(8507,), (2_000_000_000,), (2_000_039_197,), (None,)], "concept_id long"
+    )
+    got = [r["c"] for r in df.select(is_custom_concept("concept_id").alias("c")).collect()]
+    assert got == [False, False, True, None]
