@@ -181,7 +181,7 @@ def cdc_trial_worker(wal: str, table_root: str, cores: int) -> None:
     spark.stop()
 
 
-def run_controlled(wal: Path, trials: int = 8) -> dict:
+def run_controlled(wal: Path, trials: int = 10) -> dict:
     """Phase-aligned N vs 4N measurement: one warm JVM per parallelism
     level, the SAME 3M-event batch applied per trial, lo/hi runs
     interleaved back-to-back (a pair completes inside ~50 s, well under the
@@ -355,18 +355,35 @@ def main() -> None:
     }
     if not args.no_scaling:
         wal = _shm_wal(_ensure_wal())
-        controlled = run_controlled(wal)
-        full = run_scaling(wal, reps=2)
-        result["cdc_replay"] = {"controlled": controlled, "full_replay": full}
-        result["cdc_events_per_sec"] = full[f"local[{SCALE_PAIR[1]}]"][
-            "steady_events_per_s_best"
-        ]
+        result["cdc_replay"] = {}
+        # each block independently fault-tolerant: a dead worker or one
+        # failed protocol must not cost the round its BENCH record
+        try:
+            controlled = run_controlled(wal)
+            result["cdc_replay"]["controlled"] = controlled
+        except Exception as e:  # noqa: BLE001
+            controlled = None
+            result["cdc_replay"]["controlled_error"] = repr(e)
+        try:
+            full = run_scaling(wal, reps=2)
+            result["cdc_replay"]["full_replay"] = full
+            result["cdc_events_per_sec"] = full[f"local[{SCALE_PAIR[1]}]"][
+                "steady_events_per_s_best"
+            ]
+        except Exception as e:  # noqa: BLE001
+            full = None
+            result["cdc_replay"]["full_replay_error"] = repr(e)
         # headline scaling number: the phase-aligned controlled protocol's
         # stall-filtered MEDIAN (full-replay pairs span multiple host
-        # phases and are recorded alongside)
-        result["scaling_efficiency"] = controlled["scaling_efficiency"]
-        result["scaling_efficiency_best"] = controlled["scaling_efficiency_best"]
-        result["scaling_efficiency_full_replay"] = full["scaling_efficiency"]
+        # phases and are recorded alongside); full-replay best pair is the
+        # fallback if the controlled protocol failed
+        if controlled is not None:
+            result["scaling_efficiency"] = controlled["scaling_efficiency"]
+            result["scaling_efficiency_best"] = controlled["scaling_efficiency_best"]
+        elif full is not None:
+            result["scaling_efficiency"] = full["scaling_efficiency"]
+        if full is not None:
+            result["scaling_efficiency_full_replay"] = full["scaling_efficiency"]
     print(json.dumps(result))
 
 

@@ -202,18 +202,28 @@ class CDCRunner:
         ).persist()
         try:
             lineage = {"files": list(batch.files), "schema_version": self.registry.version}
-            # TWO Spark actions per batch, total: the state write (which
-            # also materializes the winners cache) and the MEDS write (from
-            # cache). All stats come from the written parquet footers — the
-            # former stats+cache job is gone.
-            stats = merge_commit_target(
-                self.spark, self.table, winners, batch.batch_id,
-                lineage=lineage, schema_json=self.registry.schema_json(),
-            )
-            merge_commit_target(
-                self.spark, self.meds_table, change_winners_to_meds(winners),
-                batch.batch_id, lineage={**lineage, "target": "meds"},
-            )
+            # TWO Spark actions per batch, submitted CONCURRENTLY: the
+            # state write and the MEDS write race to materialize the shared
+            # winners cache (Spark's block manager serializes per-partition
+            # computation, so the pipeline runs once), and the two driver
+            # job roundtrips overlap instead of adding. Each target's
+            # commit log stays independently idempotent — a crash between
+            # publishes re-runs only the missing one, same as before. All
+            # stats come from the written parquet footers.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as pool:
+                f_state = pool.submit(
+                    merge_commit_target, self.spark, self.table, winners,
+                    batch.batch_id, lineage, self.registry.schema_json(),
+                )
+                f_meds = pool.submit(
+                    merge_commit_target, self.spark, self.meds_table,
+                    change_winners_to_meds(winners), batch.batch_id,
+                    {**lineage, "target": "meds"},
+                )
+                stats = f_state.result()
+                f_meds.result()
             # footer-only count — no extra Spark pass over the batch
             n_events = self.reader.footer_rows(batch)
             # incremental compaction: only buckets whose generation count

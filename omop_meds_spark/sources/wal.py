@@ -61,7 +61,12 @@ class WalReader:
         """Footer-only row count for the batch — the reference's
         ``estimate_rows`` (pre_meds_data_loader.py:213-225). Used for
         throughput metrics so no Spark count job re-runs the read."""
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in batch.files)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, max(1, len(batch.files)))) as pool:
+            return sum(
+                pool.map(lambda f: pq.ParquetFile(f).metadata.num_rows, batch.files)
+            )
 
     def read_batch(
         self, spark: SparkSession, batch: WalBatch, registry: SchemaRegistry
@@ -73,6 +78,8 @@ class WalReader:
         read); per-file reads then use the footer schema explicitly —
         inference never runs (reference: infer_schema=False throughout).
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql.pandas.types import from_arrow_schema
 
         # Group files by their (identical) footer schema: a batch spanning
@@ -80,10 +87,14 @@ class WalReader:
         # analysis cost is driver-side and single-threaded — per-file
         # subplans were a measurable fixed cost per batch at high
         # parallelism (the scan itself is unchanged: same files, same
-        # distributed read).
+        # distributed read). Footer reads are I/O-bound driver work —
+        # fetched in parallel; registry evolution stays in deterministic
+        # file order.
+        with ThreadPoolExecutor(min(8, max(1, len(batch.files)))) as pool:
+            footers = list(pool.map(pq.read_schema, batch.files))
         groups: dict[str, tuple] = {}
-        for f in batch.files:
-            spark_schema = from_arrow_schema(pq.read_schema(f))
+        for f, arrow_schema in zip(batch.files, footers):
+            spark_schema = from_arrow_schema(arrow_schema)
             registry.evolve(spark_schema)
             key = spark_schema.json()
             if key in groups:

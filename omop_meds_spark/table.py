@@ -227,30 +227,44 @@ class SnapshotTable:
         prev = self.latest()
         if BUCKET_COL not in delta.columns:
             delta = delta.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets))
-        delta = delta.repartition(self.n_buckets, F.col(BUCKET_COL))
+        # partition count: enough for parallelism, no more — partitionBy
+        # still emits exactly one file per bucket (a bucket's rows hash to
+        # one partition), so the generation-counting invariant holds while
+        # a low-core run stops paying 32 task roundtrips for a tiny delta
+        spark = delta.sparkSession
+        nparts = min(self.n_buckets, max(2, spark.sparkContext.defaultParallelism * 2))
+        delta = delta.repartition(nparts, F.col(BUCKET_COL))
         staging = self.root / "data" / f"b{batch_id:06d}"
         delta.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(staging))
 
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
-        new_files: dict[str, list[str]] = {}
-        offsets: dict[int, int] = {}
-        n_keys, seq_min, seq_max = 0, None, None
-        for bdir in sorted(staging.glob(f"{BUCKET_COL}=*")):
+        def bucket_stats(bdir: Path):
             b = int(bdir.name.split("=", 1)[1])
             fs = sorted(bdir.glob("*.parquet"))
-            if not fs:
-                continue
-            new_files[str(b)] = [str(p.relative_to(self.root)) for p in fs]
-            lo = hi = None
+            rows, lo, hi = 0, None, None
             for f in fs:
                 md = pq.ParquetFile(f).metadata
-                n_keys += md.num_rows
+                rows += md.num_rows
                 idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[seq_col]
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx).statistics
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
+            return b, [str(p.relative_to(self.root)) for p in fs], rows, lo, hi
+
+        bdirs = sorted(staging.glob(f"{BUCKET_COL}=*"))
+        with ThreadPoolExecutor(min(16, max(1, len(bdirs)))) as pool:
+            stats = list(pool.map(bucket_stats, bdirs))
+        new_files: dict[str, list[str]] = {}
+        offsets: dict[int, int] = {}
+        n_keys, seq_min, seq_max = 0, None, None
+        for b, fs, rows, lo, hi in stats:
+            if not fs:
+                continue
+            new_files[str(b)] = fs
+            n_keys += rows
             if hi is not None:
                 offsets[b] = int(hi)
                 seq_min = int(lo) if seq_min is None else min(seq_min, int(lo))
