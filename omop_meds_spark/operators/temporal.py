@@ -72,3 +72,48 @@ def asof_join(
         .filter(F.col("__side") == 1)
         .select(*out_left, *out_right)
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    key_cols: list[str] | None = None,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Range join: pair each event with every interval containing it
+    (half-open ``start <= t < end``), optionally also keyed on equality
+    columns.
+
+    Spark-first shape — the BINNED equi-join, not a theta join: a naive
+    ``l.t >= r.s AND l.t < r.e`` condition compiles to
+    BroadcastNestedLoopJoin (O(|L|·|R|), a scale-killer). Instead both
+    sides map onto fixed-width time bins: an event has exactly ONE bin, an
+    interval explodes into the bins it covers (bounded by
+    length/bin_seconds), and the join is a plain hash equi-join on
+    (key, bin) followed by the exact containment filter. Each matching
+    pair meets in exactly one bin (the event's), so no dedup pass is
+    needed. Pick ``bin_seconds`` near the typical interval length: the
+    explode factor stays O(1) and the plan is one keyed shuffle each side.
+
+    Empty/inverted intervals (end <= start) are dropped (half-open
+    semantics — they can contain nothing).
+    """
+    keys = list(key_cols or [])
+    w = F.lit(bin_seconds * 1_000_000).cast("long")
+    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+
+    lpart = events.withColumn("__bin", F.floor(t_us / w))
+    rpart = (
+        intervals.filter(e_us > s_us)
+        .withColumn("__bin", F.explode(F.sequence(F.floor(s_us / w), F.floor((e_us - 1) / w))))
+    )
+    joined = lpart.join(rpart, keys + ["__bin"])
+    t_j = F.unix_micros(F.col(time_col).cast("timestamp"))
+    s_j = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_j = F.unix_micros(F.col(end_col).cast("timestamp"))
+    return joined.filter((t_j >= s_j) & (t_j < e_j)).drop("__bin")

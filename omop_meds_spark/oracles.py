@@ -272,6 +272,16 @@ SELECT l.event_id, l.k, l.ts, d.price_ts AS matched_ts, d.price
 FROM l ASOF LEFT JOIN dim d ON l.k = d.k AND l.ts >= d.price_ts
 """
 
+ORACLES["interval_join_sessions"] = """
+WITH iv AS (
+  SELECT event_id AS interval_id, user_id % 20 AS k,
+         ts AS win_start, ts + INTERVAL '2 hours' AS win_end
+  FROM events WHERE event_type = 'signup'),
+l AS (SELECT event_id, user_id % 20 AS k, ts FROM events)
+SELECT l.event_id, iv.interval_id, l.k, l.ts, iv.win_start
+FROM l JOIN iv ON l.k = iv.k AND l.ts >= iv.win_start AND l.ts < iv.win_end
+"""
+
 ORACLES["subject_splits"] = f"""
 WITH s AS (SELECT DISTINCT user_id AS subject_id FROM events),
 h AS (SELECT subject_id, {_md5l("subject_id::VARCHAR")} % 1000 AS b FROM s)

@@ -410,6 +410,24 @@ def asof_join_latest(spark, sf_dir):
     )
 
 
+def interval_join_sessions(spark, sf_dir):
+    """Range join via binned equi-join (never a nested-loop theta join):
+    events contained in 2-hour windows opened by each signup of the same
+    key group."""
+    from .operators.temporal import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.select("event_id", (F.col("user_id") % 20).alias("k"), F.col("ts"))
+    iv = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("interval_id"),
+        (F.col("user_id") % 20).alias("k"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    out = interval_join(left, iv, "ts", "win_start", "win_end", key_cols=["k"])
+    return out.select("event_id", "interval_id", "k", "ts", "win_start")
+
+
 def subject_splits(spark, sf_dir):
     """split_and_shard_subjects analogue: deterministic hash split of
     distinct subjects into train/tuning/held_out (80/10/10)."""
@@ -597,6 +615,7 @@ ALL_QUERIES = {
     "meds_subject_shards": meds_subject_shards,
     "subject_splits": subject_splits,
     "asof_join_latest": asof_join_latest,
+    "interval_join_sessions": interval_join_sessions,
     "text_features": text_features,
     "text_features_ref": text_features_ref,
     "lang_id": lang_id,

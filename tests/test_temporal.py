@@ -61,3 +61,58 @@ def test_asof_join_partition_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_interval_join_containment_and_edges(spark):
+    from omop_meds_spark.operators.temporal import interval_join
+
+    ev = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:00")),  # == start → included
+            (2, "A", _ts("2024-01-01 11:59:59")),  # inside
+            (3, "A", _ts("2024-01-01 12:00:00")),  # == end → excluded (half-open)
+            (4, "A", _ts("2024-01-02 10:30:00")),  # inside second interval only
+            (5, "B", _ts("2024-01-01 10:30:00")),  # wrong key
+            (6, "A", _ts("2024-03-01 10:30:00")),  # no interval
+        ],
+        "id long, k string, t timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (100, "A", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 12:00:00")),
+            (101, "A", _ts("2024-01-02 10:00:00"), _ts("2024-01-02 12:00:00")),
+            (102, "A", _ts("2024-05-01 10:00:00"), _ts("2024-05-01 10:00:00")),  # empty
+            (103, "B", _ts("2024-06-01 10:00:00"), _ts("2024-06-01 09:00:00")),  # inverted
+        ],
+        "iid long, k string, s timestamp, e timestamp",
+    )
+    got = {(r["id"], r["iid"])
+           for r in interval_join(ev, iv, "t", "s", "e", key_cols=["k"]).collect()}
+    assert got == {(1, 100), (2, 100), (4, 101)}
+    # overlapping intervals: an event matches each containing interval once
+    iv2 = spark.createDataFrame(
+        [(200, "A", _ts("2024-01-01 09:00:00"), _ts("2024-01-01 13:00:00")),
+         (201, "A", _ts("2024-01-01 10:30:00"), _ts("2024-01-01 12:30:00"))],
+        "iid long, k string, s timestamp, e timestamp",
+    )
+    got2 = sorted(
+        (r["id"], r["iid"])
+        for r in interval_join(ev.filter("id = 2"), iv2, "t", "s", "e",
+                               key_cols=["k"], bin_seconds=900).collect()
+    )
+    assert got2 == [(2, 200), (2, 201)]
+
+
+def test_interval_join_plan_is_hash_join(spark):
+    """The binned shape must compile to a hash equi-join, never a
+    nested-loop theta join."""
+    from omop_meds_spark.operators.temporal import interval_join
+
+    ev = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"))], "id long, t timestamp")
+    iv = spark.createDataFrame(
+        [(9, _ts("2024-01-01 09:00:00"), _ts("2024-01-01 11:00:00"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    plan = interval_join(ev, iv, "t", "s", "e")._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
