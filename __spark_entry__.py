@@ -4,8 +4,10 @@
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
 training-data-pipeline ops); implementations in
 ``omop_meds_spark/queries.py``.
-``oracle_sql()`` — exact DuckDB twins in ``omop_meds_spark/oracles.py``
-(every query except the deliberately non-SQL LSH-ANN has one).
+``oracle_sql()`` — exact DuckDB twins in ``omop_meds_spark/oracles.py``:
+EVERY query has one (45/45; zero rows-only entries — the LSH-ANN bucket
+math, byte-window frame hashing, and quantized-cosine scoring are all
+expressed exactly in SQL).
 """
 
 from __future__ import annotations
