@@ -181,17 +181,35 @@ def cdc_trial_worker(wal: str, table_root: str, cores: int) -> None:
     spark.stop()
 
 
-def run_controlled(wal: Path, trials: int = 10) -> dict:
+def run_controlled(
+    wal: Path,
+    min_valid_pairs: int = 4,
+    min_trials: int = 6,
+    max_trials: int = 12,
+    budget_s: float = 700.0,
+) -> dict:
     """Phase-aligned N vs 4N measurement: one warm JVM per parallelism
     level, the SAME 3M-event batch applied per trial, lo/hi runs
     interleaved back-to-back (a pair completes inside ~50 s, well under the
     multi-minute host-phase period that dominates full-replay variance).
 
-    Headline = MEDIAN efficiency over stall-filtered pairs: a pair is
-    discarded if either member's wall time exceeds 1.8x that side's median
-    (the box exhibits multi-second near-stalls; interference is one-sided,
-    so a stalled member can only corrupt the ratio — in either direction).
-    Raw trials, raw pair ratios, and the unfiltered best pair are all
+    Host co-tenant interference is strictly ADDITIVE-POSITIVE (a co-tenant
+    can slow a run, never speed it), so each side's MINIMUM wall across
+    trials estimates the uncontaminated cost, and a VALID pair is one where
+
+      * both members land within 1.25x of their side's session floor
+        (neither member stalled), and
+      * the implied efficiency is <= 1.0 (true N->4N scaling cannot exceed
+        1; a ratio above it proves the low-core member was contaminated,
+        so the pair is DISCARDED, not capped — trimming only our favorable
+        tail is conservative).
+
+    Trials are ADAPTIVE: sampling continues until ``min_valid_pairs``
+    valid pairs exist (and at least ``min_trials`` ran), bounded by
+    ``max_trials`` / ``budget_s`` — stalls come in multi-minute phases, so
+    a longer session recovers clean moments a fixed-size sample misses.
+    Headline = median over valid pairs; fallback when no pair qualifies =
+    floor-ratio (min-lo / min-hi / 4) capped at 1.0. Everything raw is
     recorded alongside."""
     import statistics
 
@@ -214,9 +232,22 @@ def run_controlled(wal: Path, trials: int = 10) -> dict:
 
     for c in (lo_c, hi_c):
         readline(procs[c])  # ready
+
     results: dict[int, list[dict]] = {lo_c: [], hi_c: []}
-    pairs = []
-    for _ in range(trials):
+    pairs: list[float] = []
+
+    def valid_indices() -> list[int]:
+        lo_floor = min(r["wall_s"] for r in results[lo_c])
+        hi_floor = min(r["wall_s"] for r in results[hi_c])
+        return [
+            i for i in range(len(pairs))
+            if results[lo_c][i]["wall_s"] <= 1.25 * lo_floor
+            and results[hi_c][i]["wall_s"] <= 1.25 * hi_floor
+            and pairs[i] <= 1.0
+        ]
+
+    t0 = time.monotonic()
+    while len(pairs) < max_trials and (time.monotonic() - t0) < budget_s:
         for c in (lo_c, hi_c):
             procs[c].stdin.write("go\n")
             procs[c].stdin.flush()
@@ -224,26 +255,33 @@ def run_controlled(wal: Path, trials: int = 10) -> dict:
         eff = (results[hi_c][-1]["events_per_s"] /
                results[lo_c][-1]["events_per_s"]) / (hi_c / lo_c)
         pairs.append(round(eff, 3))
+        if len(pairs) >= min_trials and len(valid_indices()) >= min_valid_pairs:
+            break
     for c in (lo_c, hi_c):
         procs[c].stdin.write("quit\n")
         procs[c].stdin.flush()
         procs[c].wait(timeout=60)
-    med = {c: statistics.median(r["wall_s"] for r in results[c]) for c in (lo_c, hi_c)}
-    clean = [
-        pairs[i]
-        for i in range(len(pairs))
-        if results[lo_c][i]["wall_s"] <= 1.8 * med[lo_c]
-        and results[hi_c][i]["wall_s"] <= 1.8 * med[hi_c]
-    ] or pairs
+
+    lo_floor = min(r["wall_s"] for r in results[lo_c])
+    hi_floor = min(r["wall_s"] for r in results[hi_c])
+    vidx = valid_indices()
+    valid = [pairs[i] for i in vidx]
+    floor_ratio = round(min((lo_floor / hi_floor) / (hi_c / lo_c), 1.0), 3)
+    headline = round(statistics.median(valid), 3) if valid else floor_ratio
     out = {
         "protocol": "warm-JVM interleaved single-batch trials "
                     f"(batch={results[hi_c][0]['n_events']} events, same batch both sides); "
-                    "headline = median over stall-filtered pairs (member wall <= 1.8x side median)",
+                    "adaptive sampling; valid pair = both members <= 1.25x side floor "
+                    "and efficiency <= 1.0; headline = median over valid pairs "
+                    "(fallback: capped floor ratio)",
         "pair": {"N": lo_c, "4N": hi_c},
         "trials": results,
         "pair_efficiencies": pairs,
-        "pair_efficiencies_clean": clean,
-        "scaling_efficiency": round(statistics.median(clean), 3),
+        "valid_pair_indices": vidx,
+        "pair_efficiencies_valid": valid,
+        "floors": {"lo_wall_s": lo_floor, "hi_wall_s": hi_floor,
+                   "floor_ratio_efficiency": floor_ratio},
+        "scaling_efficiency": headline,
         "scaling_efficiency_best": max(pairs),
         "scaling_efficiency_median_raw": statistics.median(pairs),
     }
