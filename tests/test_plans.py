@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the plan shapes PLANS.md documents are
+asserted, not just described — pushdown reaching the scan, dimension
+broadcasts, exchange budgets, no nested loops. A refactor that silently
+de-optimizes a hot path fails here."""
+
+from __future__ import annotations
+
+import re
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    from omop_meds_spark.queries import ALL_QUERIES
+
+    return ALL_QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"Exchange (hash|range)partitioning", plan))
+
+
+def test_tpch_q5_broadcasts_and_pushdown(spark):
+    plan = _plan(spark, "tpch_q5")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    # grouped aggregate is the only shuffle-ish stage; no nested loops
+    assert "NestedLoop" not in plan
+
+
+def test_cdc_upsert_exactly_one_exchange(spark):
+    plan = _plan(spark, "cdc_upsert_latest")
+    assert _exchanges(plan) == 1  # the LWW key hash; no sort, no window
+    assert "max_by" in plan
+    assert "Window" not in plan and "NestedLoop" not in plan
+
+
+def test_text_features_zero_exchanges(spark):
+    plan = _plan(spark, "text_features")
+    assert _exchanges(plan) == 0
+    # column-pruned scan: only doc_id + text read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"doc_id", "text"}
+
+
+def test_semi_join_is_broadcast_left_semi(spark):
+    plan = _plan(spark, "semi_join_cohort")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "PushedFilters" in plan and "c_mktsegment" in plan
+
+
+def test_asof_join_single_window_exchange(spark):
+    plan = _plan(spark, "asof_join_latest")
+    # dim pre-agg + the window partition — and nothing else
+    assert _exchanges(plan) <= 2
+    assert "NestedLoop" not in plan
+
+
+def test_interval_join_no_nested_loop(spark):
+    plan = _plan(spark, "interval_join_sessions")
+    assert "NestedLoop" not in plan
+
+
+def test_codes_metadata_joins_broadcast(spark):
+    plan = _plan(spark, "codes_metadata")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "NestedLoop" not in plan
