@@ -1,0 +1,44 @@
+"""CLI lifecycle: gen → replay → compact → vacuum → finalize → status,
+all through the argparse entry point (the spark-submit surface)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from omop_meds_spark.__main__ import main
+
+
+def test_cli_full_lifecycle(spark, tmpdir_path, capsys):
+    # `--cores` paths call get_spark, which getOrCreate-reuses the session
+    # fixture's JVM — each step stays in-process.
+    wal, tbl, out = f"{tmpdir_path}/wal", f"{tmpdir_path}/tbl", f"{tmpdir_path}/final"
+
+    assert main(["gen", "--wal", wal, "--events", "4000", "--repos", "8",
+                 "--files", "4"]) == 0
+    gen = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert gen["files"] == 4 and gen["events"] >= 4000
+
+    assert main(["replay", "--wal", wal, "--table", tbl, "--cores", "8",
+                 "--files-per-batch", "2"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["batches_applied"] == 2 and rep["final_keys"] > 0
+
+    assert main(["compact", "--table", tbl, "--cores", "8"]) == 0
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(comp["compacted_buckets"]) > 0
+
+    assert main(["vacuum", "--table", tbl, "--keep-versions", "1"]) == 0
+    vac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vac["deleted_files"] > 0
+
+    assert main(["finalize", "--table", tbl, "--out", out, "--cores", "8"]) == 0
+    fin = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fin["meds_version"] == "0.4"
+    meta = Path(out) / "metadata"
+    assert all((meta / f).exists()
+               for f in ("dataset.json", "codes.parquet", "subject_splits.parquet"))
+
+    assert main(["status", "--table", tbl]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["committed_batches"] == 2 and st["buckets"] > 0
