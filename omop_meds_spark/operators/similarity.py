@@ -11,10 +11,19 @@ Two paths:
   corpus side stays partitioned; only queries broadcast; the per-partition
   work is an Arrow-friendly columnar scan.
 * **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
-  (hyperplanes derived deterministically from md5, materialized as a tiny
-  broadcast dimension) bucket the corpus; a query only scores its bucket's
-  candidates — sublinear candidate sets at the cost of recall, which the
-  tests measure against the brute-force baseline.
+  bucket the corpus; a query only scores its bucket's candidates —
+  sublinear candidate sets at the cost of recall, which the tests measure
+  against the brute-force baseline.
+
+Signature shape (the 100 TB-critical part): hyperplane weights are
+deterministic md5 values, so they are computed DRIVER-SIDE and baked into
+the plan as per-plane array literals. Each plane's dot is then narrow
+Column algebra — ``aggregate(zip_with(emb, lit(w), x*y))`` — making the
+whole signature a ZERO-EXCHANGE projection over the corpus (plan-asserted
+in tests/test_plans.py). The earlier shape (posexplode every embedding
+into (id, dim, x) rows + two keyed shuffles) moved corpus×dim rows through
+the shuffle — a ~1000× row blowup at real embedding widths (768–1024) for
+an operator whose output is one short string per document.
 """
 
 from __future__ import annotations
@@ -66,40 +75,44 @@ def brute_force_topk(
 
 
 # ----------------------------------------------------------------- LSH ANN
-def hyperplanes(spark, dim: int, n_planes: int) -> DataFrame:
-    """Deterministic pseudo-random hyperplanes as a tiny dimension table:
-    component (plane, d) = (md5_60bit(f"{plane}|{d}") % 2001) - 1000."""
-    rows = [(p, d) for p in range(n_planes) for d in range(dim)]
-    df = spark.createDataFrame(rows, "plane int, dim int")
-    from ..functions.text import md5_long
+def plane_weights(dim: int, n_planes: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane weights, computed driver-side:
+    component (plane, d) = (md5_60bit(f"{plane}|{d}") % 2001) - 1000, where
+    md5_60bit = int(md5hex[:15], 16) — bit-identical to the engine's
+    ``md5_long`` Column (functions/text.py:162) and to the DuckDB oracle's
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``. n_planes·dim ints total —
+    a few KB even at dim=1024 — baked into the plan as literals, so no
+    dimension table, no join, no shuffle."""
+    import hashlib
 
-    comp = (
-        F.pmod(md5_long(F.concat_ws("|", F.col("plane"), F.col("dim"))), F.lit(2001)) - 1000
-    )
-    return df.withColumn("w", comp.cast("long"))
+    return [
+        [
+            (int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:15], 16) % 2001) - 1000
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
-def lsh_bucket(df: DataFrame, planes: DataFrame, id_col: str, emb_col: str) -> DataFrame:
-    """Bucket id = sign-bit string over the hyperplanes (posexplode + join +
-    two-level agg — all shuffles keyed, no Python)."""
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.posexplode(quantized_col(emb_col)).alias("dim", "x")
-    )
-    proj = (
-        exploded.join(F.broadcast(planes), "dim")
-        .groupBy("id", "plane")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-    )
-    return proj.groupBy("id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("plane"), (F.col("dot") > 0).cast("int").alias("b")))
-                ),
-                lambda s: s["b"].cast("string"),
-            ),
-        ).alias("bucket")
+def lsh_bucket_col(qemb: F.Column, weights: list[list[int]]) -> F.Column:
+    """Bucket id = sign-bit string over the hyperplanes, as a single narrow
+    Column expression over an already-quantized embedding: per plane,
+    ``aggregate(zip_with(qemb, lit(w_p), x*y)) > 0``. Zero exchanges — the
+    signature is a projection, exactly like simhash_col (dedup.py)."""
+    bits = [
+        (int_dot(qemb, F.array(*[F.lit(w).cast("long") for w in row])) > 0)
+        .cast("int")
+        .cast("string")
+        for row in weights
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket(df: DataFrame, weights: list[list[int]], id_col: str, emb_col: str) -> DataFrame:
+    """(id, bucket) per row — a shuffle-free projection."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        lsh_bucket_col(quantized_col(emb_col), weights).alias("bucket"),
     )
 
 
@@ -123,15 +136,15 @@ def lsh_ann_topk(
 
     if dim is None:
         raise ValueError("lsh_ann_topk requires explicit dim (embedding length)")
-    planes = hyperplanes(spark, dim, n_planes)
-    cb = lsh_bucket(corpus, planes, id_col, emb_col).withColumnRenamed("id", "neighbor_id")
-    qb = lsh_bucket(queries, planes, id_col, emb_col).withColumnRenamed("id", "query_id")
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), quantized_col(emb_col).alias("c_emb")).join(
-        cb, "neighbor_id"
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), quantized_col(emb_col).alias("q_emb")).join(
-        qb, "query_id"
-    )
+    weights = plane_weights(dim, n_planes)
+    # bucket is a projection column on each side — no join-back, no shuffle
+    # before the (broadcast) bucket join
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized_col(emb_col).alias("c_emb")
+    ).withColumn("bucket", lsh_bucket_col(F.col("c_emb"), weights))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantized_col(emb_col).alias("q_emb")
+    ).withColumn("bucket", lsh_bucket_col(F.col("q_emb"), weights))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -170,11 +183,10 @@ def cosine_near_dup_pairs(
     recall/cost dial as the ANN path)."""
     if dim is None:
         raise ValueError("cosine_near_dup_pairs requires explicit dim")
-    planes = hyperplanes(spark, dim, n_planes)
-    buckets = lsh_bucket(corpus, planes, id_col, emb_col)
-    q = corpus.select(F.col(id_col).alias("id"), quantized_col(emb_col).alias("e")).join(
-        buckets, "id"
-    )
+    weights = plane_weights(dim, n_planes)
+    q = corpus.select(
+        F.col(id_col).alias("id"), quantized_col(emb_col).alias("e")
+    ).withColumn("bucket", lsh_bucket_col(F.col("e"), weights))
     a = q.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), "bucket")
     b = q.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), "bucket")
 

@@ -61,6 +61,26 @@ def test_interval_join_no_nested_loop(spark):
     assert "NestedLoop" not in plan
 
 
+def test_ann_lsh_signature_is_zero_exchange(spark):
+    """The LSH signature must be a projection (driver-side plane-weight
+    literals, narrow Column algebra) — the only shuffle in the whole ANN
+    plan is the final per-query window; the bucket join is a broadcast.
+    Guards against regressing to the posexplode + two-shuffle signature
+    (corpus×dim rows through the exchange at real embedding widths)."""
+    plan = _plan(spark, "ann_lsh_topk")
+    assert _exchanges(plan) == 1  # window partitionBy(query_id) only
+    assert "BroadcastHashJoin" in plan  # bucket join broadcasts queries
+    assert "Generate" not in plan  # no posexplode anywhere
+
+
+def test_embedding_near_dup_two_bucket_exchanges_only(spark):
+    """Self-join on the bucket key: one hash exchange per side, nothing
+    else — the signature itself must stay shuffle-free."""
+    plan = _plan(spark, "embedding_near_dup")
+    assert _exchanges(plan) <= 2
+    assert "Generate" not in plan and "NestedLoop" not in plan
+
+
 def test_codes_metadata_joins_broadcast(spark):
     plan = _plan(spark, "codes_metadata")
     assert plan.count("BroadcastHashJoin") >= 2
