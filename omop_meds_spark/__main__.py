@@ -100,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         print(json.dumps({
             "version": m["version"],
-            "committed_batches": len(m["committed"]),
+            "committed_batches": m["committed_hwm"] + 1 + len(m["committed_extra"]),
             "watermark_seq": m.get("watermark_seq"),
             "offsets": m.get("offsets", {}),
             "buckets": len(m.get("files", {})),

@@ -174,8 +174,8 @@ class CDCRunner:
         None if the batch was already fully committed (idempotent replay).
         Each target's commit log is independently idempotent, so a crash
         between the two commits re-runs only the missing one."""
-        done_state = batch.batch_id in self.table.committed_batches()
-        done_meds = batch.batch_id in self.meds_table.committed_batches()
+        done_state = self.table.is_committed(batch.batch_id)
+        done_meds = self.meds_table.is_committed(batch.batch_id)
         if done_state and done_meds:
             return None
         t0 = time.monotonic()

@@ -135,10 +135,9 @@ class StreamingCDCRunner:
         would be silent data loss, so mismatches raise."""
         incoming = sorted(str(Path(p).resolve()) for p in paths)
         for tbl in (self.table, self.meds_table):
-            if batch_id not in tbl.committed_batches():
+            if not tbl.is_committed(batch_id):
                 continue
-            m = tbl.latest() or {}
-            recorded = m.get("lineage", {}).get(str(batch_id), {}).get("files")
+            recorded = (tbl.batch_lineage(batch_id) or {}).get("files")
             if recorded is not None and sorted(recorded) != incoming:
                 raise RuntimeError(
                     f"batch_id {batch_id} already committed with a different "
@@ -153,8 +152,8 @@ class StreamingCDCRunner:
         if not paths:
             return
         self._guard_fileset(batch_id, paths)
-        done_state = batch_id in self.table.committed_batches()
-        done_meds = batch_id in self.meds_table.committed_batches()
+        done_state = self.table.is_committed(batch_id)
+        done_meds = self.meds_table.is_committed(batch_id)
         if done_state and done_meds:
             return  # replayed micro-batch after checkpoint loss — no-op
         t0 = time.monotonic()

@@ -8,18 +8,39 @@ Layout::
 
     {root}/
       data/b{batch:06d}/bucket={k}/part-*.parquet   # immutable data files
-      _log/v{version:08d}.json                      # snapshot manifests
+      _log/v{version:08d}-ckpt.json                 # checkpoint manifests
+      _log/v{version:08d}-delta.json                # delta manifests
 
-A manifest is the full state of the table at a version:
+DELTA-ENCODED LOG (the 100 TB-critical part): a commit writes a manifest
+whose size is O(batch), never O(table):
+
+* a **delta** manifest records only what the commit changed —
+  ``files_add`` / ``files_replace`` (bucket → file lists), the committed
+  batch id, the changed per-bucket offsets, the new watermark, and THIS
+  batch's lineage/metrics;
+* every ``checkpoint_every``-th version (and v0) is a **checkpoint**: the
+  full materialized state (complete file listing, schema, committed
+  high-watermark + exception set, all offsets), so a reader replays at
+  most ``checkpoint_every`` deltas — Iceberg's snapshot/manifest-list
+  shape. Readers cache the materialized state in-process and replay only
+  newer deltas on a version bump.
+
+Materialized state (what ``latest()`` / ``manifest_at()`` return):
 
 * ``version``        — monotonically increasing snapshot id
 * ``batch_id``       — the micro-batch whose commit produced it
 * ``files``          — {bucket(str): [relative parquet paths]}
 * ``schema``         — target schema (json) at this version (schema registry)
-* ``committed``      — all batch_ids applied so far (exactly-once idempotence)
+* ``committed_hwm``  / ``committed_extra`` — applied batch ids as a
+  contiguous high-watermark plus out-of-order exceptions (bounded — the
+  unbounded sorted id list of the round-2 format grew O(commits))
 * ``watermark_seq``  — max seq_no applied (resume offset)
-* ``lineage``        — per-batch provenance: source files, seq range, counts
-* ``metrics``        — per-batch wall time / events/sec
+* ``offsets``        — per-bucket max applied seq_no (per-partition resume)
+
+Per-batch lineage/metrics live in the manifest that committed the batch
+(side-channel history, off the hot path): ``batch_lineage(id)`` scans the
+log newest-first, ``lineage_log()`` / ``metrics_log()`` merge the whole
+retained history — O(log), maintenance/debug accessors by design.
 
 Commit protocol (single-writer): write the manifest to ``_log/.tmp.*`` then
 ``os.rename`` to its final versioned name — atomic on POSIX. Readers list
@@ -34,12 +55,11 @@ markers (pre_meds.py:74-79,176-189,315-317) with a single versioned log.
 Scale notes (100 TB design):
 
 * Data is hash-bucketed by key (``pmod(xxhash64(repo, path), n_buckets)``).
-  A micro-batch only rewrites the buckets it touches (copy-on-write MERGE),
-  so per-batch write amplification is bounded by batch key-spread, not table
-  size. At 100 TB you raise ``n_buckets`` (e.g. 16k) so a bucket stays a few
-  GB; the manifest is then delta-encoded per commit rather than full listing
-  — full listing is kept here for simplicity and is noted as the one
-  sandbox-scale simplification.
+  A micro-batch only appends the buckets it touches (merge-on-read), so
+  per-batch write amplification is bounded by batch key-spread, not table
+  size. At 100 TB you raise ``n_buckets`` (e.g. 16k) so a bucket stays a
+  few GB; commit cost stays O(batch) in manifest bytes because only the
+  touched buckets' file deltas are written.
 * The manifest drives partition pruning: reading N buckets touches exactly
   those files; no directory listing of the whole table.
 """
@@ -48,6 +68,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
 from pathlib import Path
@@ -57,40 +78,154 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "__bucket"
 
+_LOG_RE = re.compile(r"^v(\d{8})-(ckpt|delta)\.json$")
+
 
 def bucket_expr(key_cols: list[str], n_buckets: int) -> F.Column:
     """Deterministic hash bucket of the key — xxhash64 is JVM-side, stable."""
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
-class SnapshotTable:
-    """Single-writer transactional parquet table with a JSON snapshot log."""
+def _empty_state() -> dict:
+    return {
+        "version": -1,
+        "batch_id": -1,
+        "files": {},
+        "schema": None,
+        "committed_hwm": -1,
+        "committed_extra": [],
+        "watermark_seq": -1,
+        "offsets": {},
+        "committed_at": None,
+    }
 
-    def __init__(self, root: str | Path, key_cols: list[str], n_buckets: int = 32):
+
+def _absorb(hwm: int, extra: set[int], batch_id: int) -> tuple[int, set[int]]:
+    """Add a batch id to the (high-watermark, exception-set) representation,
+    folding the exception set back into the watermark when it becomes
+    contiguous — the set stays bounded by commit out-of-orderness, not by
+    commit count."""
+    if batch_id <= hwm:
+        return hwm, extra
+    extra = set(extra)
+    extra.add(batch_id)
+    while hwm + 1 in extra:
+        hwm += 1
+        extra.discard(hwm)
+    return hwm, extra
+
+
+def _apply_delta(state: dict, d: dict) -> dict:
+    """Pure-functional replay of one delta manifest onto a materialized
+    state (copies the files map — never mutates ``state``, which may be the
+    shared in-process cache)."""
+    files = {b: list(fs) for b, fs in state["files"].items()}
+    for b, fs in d.get("files_add", {}).items():
+        files[b] = files.get(b, []) + list(fs)
+    for b, fs in d.get("files_replace", {}).items():
+        if fs:
+            files[b] = list(fs)
+        else:
+            files.pop(b, None)
+    hwm, extra = state["committed_hwm"], set(state["committed_extra"])
+    if d.get("commit") is not None:
+        hwm, extra = _absorb(hwm, extra, int(d["commit"]))
+    offsets = dict(state["offsets"])
+    for b, s in d.get("offsets", {}).items():
+        offsets[str(b)] = max(int(s), int(offsets.get(str(b), -1)))
+    return {
+        "version": d["version"],
+        "batch_id": d["batch_id"],
+        "files": files,
+        "schema": d.get("schema") or state["schema"],
+        "committed_hwm": hwm,
+        "committed_extra": sorted(extra),
+        "watermark_seq": max(int(d.get("watermark_seq", -1)), int(state["watermark_seq"])),
+        "offsets": offsets,
+        "committed_at": d.get("committed_at"),
+    }
+
+
+class SnapshotTable:
+    """Single-writer transactional parquet table with a delta-encoded JSON
+    snapshot log (checkpoint every ``checkpoint_every`` versions)."""
+
+    def __init__(self, root: str | Path, key_cols: list[str], n_buckets: int = 32,
+                 checkpoint_every: int = 16):
         self.root = Path(root)
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
+        self.checkpoint_every = max(1, checkpoint_every)
         (self.root / "_log").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(parents=True, exist_ok=True)
+        self._cache: tuple[int, dict] | None = None  # (version, state)
 
     # ---------------------------------------------------------------- log
-    def _manifests(self) -> list[Path]:
-        return sorted((self.root / "_log").glob("v*.json"))
+    def _log_entries(self) -> list[tuple[int, str, Path]]:
+        """Sorted (version, kind, path). A version present as BOTH ckpt and
+        delta (vacuum's checkpoint-promotion window) resolves to the ckpt."""
+        seen: dict[int, tuple[str, Path]] = {}
+        for p in (self.root / "_log").iterdir():
+            m = _LOG_RE.match(p.name)
+            if not m:
+                continue
+            v, kind = int(m.group(1)), m.group(2)
+            if v not in seen or kind == "ckpt":
+                seen[v] = (kind, p)
+        return [(v, k, p) for v, (k, p) in sorted(seen.items())]
+
+    def _load_state(self, version: int | None = None) -> dict | None:
+        entries = self._log_entries()
+        if version is not None:
+            if not any(v == version for v, _, _ in entries):
+                return None  # vacuumed / never existed
+            entries = [e for e in entries if e[0] <= version]
+        if not entries:
+            return None
+        target = entries[-1][0]
+        if version is None and self._cache is not None and self._cache[0] == target:
+            return self._cache[1]
+        # start from the newest checkpoint (or the in-process cache if it is
+        # newer) and replay only the deltas after it
+        ck_idx = max((i for i, e in enumerate(entries) if e[1] == "ckpt"), default=None)
+        if ck_idx is None:
+            raise RuntimeError(f"snapshot log {self.root} has no checkpoint <= v{target}")
+        state = None
+        start = ck_idx + 1
+        if (version is None and self._cache is not None
+                and entries[ck_idx][0] <= self._cache[0] < target):
+            state = self._cache[1]
+            start = next(i for i, e in enumerate(entries) if e[0] > self._cache[0])
+        if state is None:
+            state = json.loads(entries[ck_idx][2].read_text())
+        for _, _, p in entries[start:]:
+            state = _apply_delta(state, json.loads(p.read_text()))
+        if version is None:
+            self._cache = (target, state)
+        return state
 
     def latest(self) -> dict | None:
-        ms = self._manifests()
-        if not ms:
-            return None
-        return json.loads(ms[-1].read_text())
+        return self._load_state()
 
     @property
     def version(self) -> int:
         m = self.latest()
         return -1 if m is None else m["version"]
 
-    def committed_batches(self) -> set[int]:
+    def is_committed(self, batch_id: int) -> bool:
+        """O(1) exactly-once check against the bounded representation."""
         m = self.latest()
-        return set() if m is None else set(m["committed"])
+        if m is None:
+            return False
+        return batch_id <= m["committed_hwm"] or batch_id in set(m["committed_extra"])
+
+    def committed_batches(self) -> set[int]:
+        """Materialized applied-batch set — O(high-watermark); for status /
+        tests. Hot paths use ``is_committed``."""
+        m = self.latest()
+        if m is None:
+            return set()
+        return set(range(m["committed_hwm"] + 1)) | set(m["committed_extra"])
 
     def watermark(self) -> int:
         m = self.latest()
@@ -105,8 +240,32 @@ class SnapshotTable:
         return {} if m is None else {int(b): s for b, s in m.get("offsets", {}).items()}
 
     def manifest_at(self, version: int) -> dict | None:
-        p = self.root / "_log" / f"v{version:08d}.json"
-        return json.loads(p.read_text()) if p.exists() else None
+        return self._load_state(version)
+
+    # ------------------------------------------------- history accessors
+    def batch_lineage(self, batch_id: int) -> dict | None:
+        """Lineage recorded by the manifest that committed ``batch_id`` —
+        newest-first log scan (off the hot path; None once vacuumed)."""
+        key = str(batch_id)
+        for _, _, p in reversed(self._log_entries()):
+            lin = json.loads(p.read_text()).get("lineage") or {}
+            if key in lin:
+                return lin[key]
+        return None
+
+    def lineage_log(self) -> dict:
+        """All retained per-batch lineage, merged across the log — O(log);
+        a maintenance/debug accessor, never on the commit path."""
+        out: dict = {}
+        for _, _, p in self._log_entries():
+            out.update(json.loads(p.read_text()).get("lineage") or {})
+        return out
+
+    def metrics_log(self) -> dict:
+        out: dict = {}
+        for _, _, p in self._log_entries():
+            out.update(json.loads(p.read_text()).get("metrics") or {})
+        return out
 
     # --------------------------------------------------------------- read
     def read(self, spark: SparkSession, buckets: list[int] | None = None,
@@ -115,8 +274,8 @@ class SnapshotTable:
         driven pruning, no directory listing). ``version`` time-travels to
         an earlier snapshot: data files are immutable and manifests are
         append-only, so every historical version stays readable until a
-        vacuum (not implemented — nothing deletes files)."""
-        m = self.latest() if version is None else self.manifest_at(version)
+        ``vacuum`` retires it."""
+        m = self._load_state(version)
         if m is None:
             return None
         files: list[str] = []
@@ -146,7 +305,7 @@ class SnapshotTable:
         ZERO exchanges. Otherwise the LWW reduce shuffles once on the key;
         at 100 TB the scheduled compaction keeps most reads on the fast
         path."""
-        m = self.latest() if version is None else self.manifest_at(version)
+        m = self._load_state(version)
         if m is None:
             return None
         wanted = (b for b in m["files"] if buckets is None or int(b) in buckets)
@@ -181,20 +340,16 @@ class SnapshotTable:
         count. This is the hot-path commit (write amplification O(batch),
         not O(state)); ``commit_merged`` remains the copy-on-write/compaction
         commit."""
-        if batch_id in self.committed_batches():
+        if self.is_committed(batch_id):
             return False
-        prev = self.latest()
         # one file per bucket per generation (file count == generation
         # count, which drives compaction); the repartition shuffles only
         # the per-key winners (O(keys-in-batch), usually cached upstream)
         delta = delta.repartition(max(len(touched_buckets), 1), F.col(BUCKET_COL))
         new_files = self._write_bucketed(delta, f"b{batch_id:06d}", touched_buckets)
-        files = {b: list(fs) for b, fs in (prev["files"] if prev else {}).items()}
-        for b in touched_buckets:
-            files.setdefault(str(b), [])
-            files[str(b)] = files[str(b)] + new_files.get(str(b), [])
-        self._publish(prev, files, batch_id, watermark_seq, lineage, metrics,
-                      schema_json, offsets, add_committed=True)
+        self._publish(batch_id=batch_id, files_add=new_files,
+                      watermark_seq=watermark_seq, lineage=lineage,
+                      metrics=metrics, schema_json=schema_json, offsets=offsets)
         return True
 
     def commit_delta_auto(
@@ -218,13 +373,14 @@ class SnapshotTable:
         trivially driver-side. This is the lakehouse-idiomatic shape:
         column statistics already paid for by the parquet writer double as
         the commit's lineage, the way Iceberg manifests carry per-file
-        column bounds.
+        column bounds. Files whose footers carry no usable ``seq_col``
+        statistics (stats disabled / all-null row group) fall back to one
+        tiny Spark min/max pass over just those files.
 
         Returns {n_keys, seq_min, seq_max} (None values when the batch was
         empty), or None if ``batch_id`` was already committed."""
-        if batch_id in self.committed_batches():
+        if self.is_committed(batch_id):
             return None
-        prev = self.latest()
         if BUCKET_COL not in delta.columns:
             delta = delta.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets))
         # partition count: enough for parallelism, no more — partitionBy
@@ -244,15 +400,22 @@ class SnapshotTable:
             b = int(bdir.name.split("=", 1)[1])
             fs = sorted(bdir.glob("*.parquet"))
             rows, lo, hi = 0, None, None
+            no_stats: list[str] = []
             for f in fs:
                 md = pq.ParquetFile(f).metadata
                 rows += md.num_rows
                 idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[seq_col]
+                got = False
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        continue  # stats disabled or all-null row group
+                    got = True
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-            return b, [str(p.relative_to(self.root)) for p in fs], rows, lo, hi
+                if not got and md.num_rows > 0:
+                    no_stats.append(str(f))
+            return b, [str(p.relative_to(self.root)) for p in fs], rows, lo, hi, no_stats
 
         bdirs = sorted(staging.glob(f"{BUCKET_COL}=*"))
         with ThreadPoolExecutor(min(16, max(1, len(bdirs)))) as pool:
@@ -260,9 +423,15 @@ class SnapshotTable:
         new_files: dict[str, list[str]] = {}
         offsets: dict[int, int] = {}
         n_keys, seq_min, seq_max = 0, None, None
-        for b, fs, rows, lo, hi in stats:
+        for b, fs, rows, lo, hi, no_stats in stats:
             if not fs:
                 continue
+            if no_stats:  # rare fallback: one small Spark pass over the gap
+                row = (spark.read.parquet(*no_stats)
+                       .agg(F.min(seq_col), F.max(seq_col)).collect()[0])
+                if row[0] is not None:
+                    lo = row[0] if lo is None else min(lo, row[0])
+                    hi = row[1] if hi is None else max(hi, row[1])
             new_files[str(b)] = fs
             n_keys += rows
             if hi is not None:
@@ -270,14 +439,13 @@ class SnapshotTable:
                 seq_min = int(lo) if seq_min is None else min(seq_min, int(lo))
                 seq_max = int(hi) if seq_max is None else max(seq_max, int(hi))
 
-        files = {b: list(fs) for b, fs in (prev["files"] if prev else {}).items()}
-        for b, fs in new_files.items():
-            files[b] = files.get(b, []) + fs
+        prev_wm = self.watermark()
         self._publish(
-            prev, files, batch_id,
-            seq_max if seq_max is not None else (prev.get("watermark_seq", -1) if prev else -1),
-            {**(lineage or {}), "seq_min": seq_min, "seq_max": seq_max, "n_keys": n_keys},
-            metrics, schema_json, offsets, add_committed=True,
+            batch_id=batch_id, files_add=new_files,
+            watermark_seq=seq_max if seq_max is not None else prev_wm,
+            lineage={**(lineage or {}), "seq_min": seq_min, "seq_max": seq_max,
+                     "n_keys": n_keys},
+            metrics=metrics, schema_json=schema_json, offsets=offsets,
         )
         return {"n_keys": n_keys, "seq_min": seq_min, "seq_max": seq_max}
 
@@ -296,10 +464,11 @@ class SnapshotTable:
         passing ``hot_buckets(threshold)`` makes compaction INCREMENTAL —
         cost O(hot-bucket state), not O(table): only the listed buckets are
         read (manifest-pruned) and rewritten; every other bucket's file list
-        carries over untouched. At 100 TB with 16k buckets a single hot
-        bucket compacts alone in seconds rather than forcing a full-table
-        rewrite. ``key_reduce(df) -> df`` defaults to the engine's LWW
-        kernel. No-op on an empty table or empty bucket list."""
+        carries over untouched (the delta manifest records only the replaced
+        buckets). At 100 TB with 16k buckets a single hot bucket compacts
+        alone in seconds rather than forcing a full-table rewrite.
+        ``key_reduce(df) -> df`` defaults to the engine's LWW kernel.
+        No-op on an empty table or empty bucket list."""
         prev = self.latest()
         if prev is None:
             return False
@@ -324,35 +493,60 @@ class SnapshotTable:
         new_files = self._write_bucketed(
             reduced.repartition(max(len(target), 1), F.col(BUCKET_COL)), tag, target
         )
-        files = {b: list(fs) for b, fs in prev["files"].items()}
-        for b in target:
-            if new_files.get(str(b)):
-                files[str(b)] = new_files[str(b)]
-            else:
-                files.pop(str(b), None)
-        files = {b: fs for b, fs in files.items() if fs}
-        self._publish(prev, files, prev["batch_id"], prev.get("watermark_seq", -1),
-                      {"compaction": True, "buckets": target}, None, None, None,
+        self._publish(batch_id=prev["batch_id"],
+                      files_replace={str(b): new_files.get(str(b), []) for b in target},
+                      watermark_seq=prev.get("watermark_seq", -1),
+                      lineage={"compaction": True, "buckets": target},
                       add_committed=False)
         return True
+
+    def checkpoint(self) -> int | None:
+        """Force a checkpoint manifest at the current version (vacuum uses
+        this to keep the oldest retained version materializable). Returns
+        the checkpointed version, or None on an empty log."""
+        state = self.latest()
+        if state is None:
+            return None
+        self._write_manifest({**state, "kind": "ckpt"}, state["version"], "ckpt",
+                             allow_existing_delta=True)
+        return state["version"]
 
     def vacuum(self, keep_versions: int = 2) -> dict:
         """Retention-bounded cleanup: keep the latest ``keep_versions``
         snapshots; delete every data file referenced ONLY by older
         snapshots, then drop those older manifests. Time travel inside the
-        retention window keeps working (their files are preserved); older
-        versions disappear cleanly (``manifest_at`` → None) rather than
-        dangling. Driver-side file ops only — O(files), no Spark job."""
+        retention window keeps working (their files are preserved; the
+        oldest kept version is promoted to a checkpoint so it stays
+        materializable); older versions disappear cleanly (``manifest_at``
+        → None) rather than dangling. Driver-side file ops only — O(files),
+        no Spark job.
+
+        SINGLE-WRITER ONLY: vacuum unlinks every data file not referenced
+        by a kept manifest, which would include a CONCURRENT writer's
+        staged-but-unpublished files. Run it from the one writer process
+        (the same assumption the whole commit protocol makes), never
+        alongside an in-flight commit."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
-        ms = self._manifests()
-        if len(ms) <= keep_versions:
+        entries = self._log_entries()
+        if len(entries) <= keep_versions:
             return {"deleted_files": 0, "dropped_manifests": 0}
-        kept, dropped = ms[-keep_versions:], ms[:-keep_versions]
+        kept, dropped = entries[-keep_versions:], entries[:-keep_versions]
+        # promote the oldest kept version to a checkpoint BEFORE dropping
+        # the older manifests it would otherwise need for materialization
+        oldest_v, oldest_kind, oldest_path = kept[0]
+        state = self._load_state(version=oldest_v)
+        if oldest_kind != "ckpt":
+            self._write_manifest({**state, "kind": "ckpt"}, oldest_v, "ckpt",
+                                 allow_existing_delta=True)
+            oldest_path.unlink()
+        # files referenced by ANY kept version (incremental replay forward)
         referenced: set[str] = set()
-        for p in kept:
-            m = json.loads(p.read_text())
-            for fs in m["files"].values():
+        for fs in state["files"].values():
+            referenced.update(fs)
+        for _, _, p in kept[1:]:
+            state = _apply_delta(state, json.loads(p.read_text()))
+            for fs in state["files"].values():
                 referenced.update(fs)
         deleted = 0
         for f in (self.root / "data").rglob("*.parquet"):
@@ -360,7 +554,7 @@ class SnapshotTable:
             if rel not in referenced:
                 f.unlink()
                 deleted += 1
-        for p in dropped:
+        for _, _, p in dropped:
             p.unlink()
         # prune now-empty generation directories (cosmetic, keeps listings small)
         for d in sorted((self.root / "data").rglob("*"), reverse=True):
@@ -382,32 +576,42 @@ class SnapshotTable:
                 )
         return out
 
-    def _publish(self, prev, files, batch_id, watermark_seq, lineage, metrics,
-                 schema_json, offsets, add_committed: bool) -> None:
-        committed = set(prev["committed"]) if prev else set()
-        if add_committed:
-            committed.add(batch_id)
-        prev_offsets = {int(b): s for b, s in (prev.get("offsets", {}) if prev else {}).items()}
-        for b, s in (offsets or {}).items():
-            prev_offsets[int(b)] = max(int(s), prev_offsets.get(int(b), -1))
-        lineage_all = dict(prev.get("lineage", {})) if prev else {}
-        if lineage is not None:
-            key = str(batch_id) if add_committed else f"compact_v{(prev['version'] + 1) if prev else 0}"
-            lineage_all[key] = lineage
-        manifest = {
-            "version": (prev["version"] + 1) if prev else 0,
+    def _publish(self, *, batch_id: int, files_add: dict[str, list[str]] | None = None,
+                 files_replace: dict[str, list[str]] | None = None,
+                 watermark_seq: int = -1, lineage: dict | None = None,
+                 metrics: dict | None = None, schema_json: str | None = None,
+                 offsets: dict[int, int] | None = None,
+                 add_committed: bool = True) -> None:
+        """Publish one commit: write an O(batch) delta manifest — or, every
+        ``checkpoint_every``-th version, the full checkpoint — and advance
+        the in-process state cache."""
+        prev = self.latest() or _empty_state()
+        version = prev["version"] + 1
+        lin_key = str(batch_id) if add_committed else f"compact_v{version}"
+        delta = {
+            "version": version,
+            "kind": "delta",
             "batch_id": batch_id,
-            "files": files,
-            "schema": schema_json or (prev.get("schema") if prev else None),
-            "committed": sorted(committed),
-            "watermark_seq": max(watermark_seq, prev.get("watermark_seq", -1) if prev else -1),
-            "offsets": {str(b): s for b, s in sorted(prev_offsets.items())},
-            "lineage": lineage_all,
-            "metrics": {**(prev.get("metrics", {}) if prev else {}),
-                        **({str(batch_id): metrics} if metrics else {})},
+            "files_add": {b: fs for b, fs in (files_add or {}).items() if fs},
+            "files_replace": files_replace or {},
+            "schema": schema_json,
+            "commit": batch_id if add_committed else None,
+            "watermark_seq": int(watermark_seq),
+            "offsets": {str(b): int(s) for b, s in sorted((offsets or {}).items())},
+            "lineage": {lin_key: lineage} if lineage is not None else {},
+            "metrics": {str(batch_id): metrics} if metrics else {},
             "committed_at": time.time(),
         }
-        self._atomic_write_manifest(manifest)
+        state = _apply_delta(prev, delta)
+        if version % self.checkpoint_every == 0:
+            # checkpoint carries the full state PLUS this commit's own
+            # lineage/metrics (so history scans see every batch exactly once)
+            manifest = {**state, "kind": "ckpt",
+                        "lineage": delta["lineage"], "metrics": delta["metrics"]}
+            self._write_manifest(manifest, version, "ckpt")
+        else:
+            self._write_manifest(delta, version, "delta")
+        self._cache = (version, state)
 
     def max_files_per_bucket(self) -> int:
         m = self.latest()
@@ -427,70 +631,46 @@ class SnapshotTable:
         offsets: dict[int, int] | None = None,
     ) -> bool:
         """Write ``merged`` (state rows for the touched buckets, including
-        the ``__bucket`` column) and atomically publish a new snapshot.
+        the ``__bucket`` column) and atomically publish a new snapshot —
+        the copy-on-write commit: each touched bucket's file list is
+        REPLACED (a bucket the batch emptied is dropped).
 
         Returns False (no-op) if ``batch_id`` was already committed.
         """
-        if batch_id in self.committed_batches():
+        if self.is_committed(batch_id):
             return False
-
-        prev = self.latest()
-        staging = self.root / "data" / f"b{batch_id:06d}"
         # Write one hive partition per touched bucket. repartition by the
         # bucket column so each bucket is written by tasks that own it; AQE
         # coalesces small ones.
-        (
-            merged.repartition(max(len(touched_buckets), 1), F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(str(staging))
+        new_files = self._write_bucketed(
+            merged.repartition(max(len(touched_buckets), 1), F.col(BUCKET_COL)),
+            f"b{batch_id:06d}", touched_buckets,
         )
-
-        # Collect the new file listing for touched buckets.
-        new_files: dict[str, list[str]] = {str(b): [] for b in touched_buckets}
-        for b in touched_buckets:
-            bdir = staging / f"{BUCKET_COL}={b}"
-            if bdir.exists():
-                new_files[str(b)] = sorted(
-                    str(p.relative_to(self.root)) for p in bdir.glob("*.parquet")
-                )
-
-        files = dict(prev["files"]) if prev else {}
-        for b in touched_buckets:
-            files[str(b)] = new_files[str(b)]
-        files = {b: fs for b, fs in files.items() if fs}
-
-        committed = sorted((set(prev["committed"]) if prev else set()) | {batch_id})
-        prev_offsets = {int(b): s for b, s in (prev.get("offsets", {}) if prev else {}).items()}
-        for b, s in (offsets or {}).items():
-            prev_offsets[int(b)] = max(int(s), prev_offsets.get(int(b), -1))
-        lineage_all = dict(prev.get("lineage", {})) if prev else {}
-        lineage_all[str(batch_id)] = lineage or {}
-        manifest = {
-            "version": (prev["version"] + 1) if prev else 0,
-            "batch_id": batch_id,
-            "files": files,
-            "schema": schema_json or (prev.get("schema") if prev else None),
-            "committed": committed,
-            "watermark_seq": max(watermark_seq, prev.get("watermark_seq", -1) if prev else -1),
-            "offsets": {str(b): s for b, s in sorted(prev_offsets.items())},
-            "lineage": lineage_all,
-            "metrics": {**(prev.get("metrics", {}) if prev else {}),
-                        str(batch_id): metrics or {}},
-            "committed_at": time.time(),
-        }
-        self._atomic_write_manifest(manifest)
+        self._publish(
+            batch_id=batch_id,
+            files_replace={str(b): new_files.get(str(b), []) for b in touched_buckets},
+            watermark_seq=watermark_seq, lineage=lineage, metrics=metrics,
+            schema_json=schema_json, offsets=offsets,
+        )
         return True
 
-    def _atomic_write_manifest(self, manifest: dict) -> None:
+    def _write_manifest(self, manifest: dict, version: int, kind: str,
+                        allow_existing_delta: bool = False) -> None:
         log_dir = self.root / "_log"
         fd, tmp = tempfile.mkstemp(prefix=".tmp.", dir=log_dir)
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        final = log_dir / f"v{manifest['version']:08d}.json"
-        if final.exists():  # lost race / duplicate version — abort, keep log consistent
+        final = log_dir / f"v{version:08d}-{kind}.json"
+        # lost race / duplicate version — abort, keep log consistent
+        # (checkpoint promotion of an existing delta version is the one
+        # sanctioned overwrite-by-new-name: _log_entries prefers the ckpt)
+        clash = final.exists() or (
+            not allow_existing_delta
+            and (log_dir / f"v{version:08d}-{'delta' if kind == 'ckpt' else 'ckpt'}.json").exists()
+        )
+        if clash:
             os.unlink(tmp)
-            raise RuntimeError(f"snapshot {final} already exists (concurrent writer?)")
+            raise RuntimeError(f"snapshot v{version} already exists (concurrent writer?)")
         os.rename(tmp, final)

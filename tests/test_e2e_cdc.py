@@ -177,7 +177,7 @@ def test_schema_evolution_recorded(spark, tmpdir_path):
     assert "language" not in [f.name for f in r.registry.target.fields]
     # lineage carries per-batch schema versions, monotonically increasing
     # (batch keys are numeric; compaction records use "compact_v*" keys)
-    m = r.table.latest()
-    batch_keys = sorted(int(k) for k in m["lineage"] if k.isdigit())
-    versions = [m["lineage"][str(b)]["schema_version"] for b in batch_keys]
+    lin = r.table.lineage_log()
+    batch_keys = sorted(int(k) for k in lin if k.isdigit())
+    versions = [lin[str(b)]["schema_version"] for b in batch_keys]
     assert versions == sorted(versions)

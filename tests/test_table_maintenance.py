@@ -116,6 +116,72 @@ def test_vacuum_retention_window(spark, tmpdir_path):
     assert fp_latest != fp_prev
 
 
+def test_manifest_cost_bounded_over_many_commits(spark, tmpdir_path):
+    """The round-2 format rewrote the FULL file listing (plus the unbounded
+    committed list and all history) on every commit — O(table + commits)
+    manifest bytes on the hot path. The delta log must keep per-commit
+    manifest bytes O(batch): over 120 commits, late delta manifests are no
+    bigger than early ones, checkpoints appear on cadence, and a cold
+    process reconstructs the exact same state."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=4, checkpoint_every=16)
+    for i in range(120):
+        d = _delta(spark, [(f"r{i % 7}", "p", i, "U")], n_buckets=4)
+        t.commit_delta(d, i, _touched(d), i)
+    log = Path(tmpdir_path, "_log")
+    deltas = sorted(log.glob("v*-delta.json"))
+    ckpts = sorted(log.glob("v*-ckpt.json"))
+    assert len(ckpts) == 8 and len(deltas) == 112  # v0,16,...,112 ckpt
+    sizes = {int(p.name[1:9]): p.stat().st_size for p in deltas}
+    early = [sizes[v] for v in sorted(sizes) if v < 16]
+    late = [sizes[v] for v in sorted(sizes) if v > 100]
+    # identical-shape batches → identical-shape deltas; allow tiny jitter
+    assert max(late) <= max(early) * 1.2, (max(early), max(late))
+    # the committed representation is bounded: contiguous ids fold into the
+    # high-watermark, no ever-growing list
+    m = t.latest()
+    assert m["committed_hwm"] == 119 and m["committed_extra"] == []
+    # cold reader (fresh instance, no cache) reconstructs the same state
+    t2 = SnapshotTable(tmpdir_path, KEYS, n_buckets=4)
+    assert t2.latest() == m
+    assert t2.is_committed(77) and not t2.is_committed(120)
+    assert _live_rows(spark, t2) == _live_rows(spark, t)
+
+
+def test_out_of_order_commit_ids_bounded_exception_set(spark, tmpdir_path):
+    """Batch ids applied out of order park in committed_extra and fold back
+    into the watermark once the gap fills."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    for i in (0, 2, 3):
+        d = _delta(spark, [("r", "p", i, "U")], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    m = t.latest()
+    assert m["committed_hwm"] == 0 and m["committed_extra"] == [2, 3]
+    assert t.is_committed(2) and not t.is_committed(1)
+    d = _delta(spark, [("r", "p", 1, "U")], n_buckets=2)
+    t.commit_delta(d, 1, _touched(d), 1)
+    m = t.latest()
+    assert m["committed_hwm"] == 3 and m["committed_extra"] == []
+
+
+def test_vacuum_across_checkpoint_promotion(spark, tmpdir_path):
+    """Vacuum whose oldest kept version is a delta must promote it to a
+    checkpoint so the retained window stays materializable."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2, checkpoint_every=50)
+    for i in range(10):
+        d = _delta(spark, [("r", "p", i, "U")], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    live = _live_rows(spark, t)
+    out = t.vacuum(keep_versions=3)
+    assert out["dropped_manifests"] == 7
+    log = Path(tmpdir_path, "_log")
+    assert (log / "v00000007-ckpt.json").exists()
+    assert not (log / "v00000007-delta.json").exists()
+    t2 = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)  # cold reader
+    assert _live_rows(spark, t2) == live
+    assert t2.manifest_at(6) is None
+    assert t2.manifest_at(8)["version"] == 8
+
+
 def test_dedup_events_canonical_prefers_populated_copy(spark):
     """Non-byte-identical redelivery (schema-era straddle): the canonical
     reduction keeps the most-populated copy, independent of partitioning."""
