@@ -16,7 +16,7 @@ An EventBlock's fields are Column *expressions*, so code templates
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 @dataclass
 class EventBlock:
-    """One event emitted per wide row (when ``when`` is satisfied)."""
+    """One event emitted per wide row (when ``when`` is satisfied).
+
+    ``extras`` are passthrough output columns beyond the canonical MEDS
+    five (the reference's ``unit`` / ``visit_occurrence_id`` /
+    ``table_name`` / ``link_id`` fields, event_configs.yaml:30-36) —
+    string-cast for a stable cross-block struct type."""
 
     code: F.Column
     time: F.Column
@@ -32,10 +37,14 @@ class EventBlock:
     numeric_value: F.Column | None = None
     text_value: F.Column | None = None
     when: F.Column | None = None  # row emits this event only if true
+    extras: dict[str, F.Column] = field(default_factory=dict)
 
 
 def to_meds_events(df: DataFrame, blocks: list[EventBlock]) -> DataFrame:
-    """Explode each wide row into its declared MEDS events."""
+    """Explode each wide row into its declared MEDS events. Output schema:
+    the canonical MEDS columns plus the sorted union of every block's
+    ``extras`` names (null where a block lacks one)."""
+    extra_names = sorted({k for b in blocks for k in b.extras})
     structs = []
     for b in blocks:
         ev = F.struct(
@@ -48,6 +57,10 @@ def to_meds_events(df: DataFrame, blocks: list[EventBlock]) -> DataFrame:
             (b.text_value if b.text_value is not None else F.lit(None))
             .cast("string")
             .alias("text_value"),
+            *[
+                b.extras.get(k, F.lit(None)).cast("string").alias(k)
+                for k in extra_names
+            ],
         )
         structs.append(F.when(b.when, ev) if b.when is not None else F.when(F.lit(True), ev))
     arr = F.array_compact(F.array(*structs))

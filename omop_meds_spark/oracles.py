@@ -220,6 +220,8 @@ _MEDS_EVENTS = """
 """
 
 ORACLES["meds_event_explosion"] = f"SELECT * FROM ({_MEDS_EVENTS})"
+# the YAML-config-driven twin must produce the IDENTICAL stream
+ORACLES["meds_event_explosion_cfg"] = ORACLES["meds_event_explosion"]
 
 ORACLES["meds_code_counts"] = f"""
 WITH ev AS ({_MEDS_EVENTS})

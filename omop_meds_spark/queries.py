@@ -327,6 +327,23 @@ def meds_event_explosion(spark, sf_dir):
     return _order_events(spark, sf_dir)
 
 
+def meds_event_explosion_cfg(spark, sf_dir):
+    """convert_to_MEDS driven from the checked-in YAML event config
+    (configs/order_events.yaml) — the reference's config-file workflow
+    (event_configs.yaml consumed at runtime). Must produce the identical
+    event stream to the Python-declared ``meds_event_explosion`` (same
+    oracle SQL proves it)."""
+    from pathlib import Path
+
+    from .event_config import events_from_config, load_event_config
+
+    cfg = load_event_config(Path(__file__).parent / "configs" / "order_events.yaml")
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "o_end_date", F.col("o_orderdate") + F.expr("INTERVAL 720 HOURS")
+    )
+    return events_from_config(orders, cfg, "orders")
+
+
 def meds_code_counts(spark, sf_dir):
     """J9/A2: per-base-code occurrence counts over the exploded events."""
     return code_occurrence_counts(_order_events(spark, sf_dir))
@@ -609,6 +626,7 @@ ALL_QUERIES = {
     "windowed_event_counts": windowed_event_counts,
     "sessionize": sessionize,
     "meds_event_explosion": meds_event_explosion,
+    "meds_event_explosion_cfg": meds_event_explosion_cfg,
     "meds_code_counts": meds_code_counts,
     "codes_metadata": codes_metadata,
     "care_site_lookup": care_site_lookup,
