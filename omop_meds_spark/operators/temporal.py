@@ -1,4 +1,4 @@
-"""Temporal joins: point-in-time (as-of) enrichment.
+"""Temporal joins: point-in-time (as-of) enrichment and interval containment.
 
 The CDC-native operator Spark lacks as a built-in: for each left row at
 time t, attach the LATEST right row with time' <= t for the same key (how
@@ -18,9 +18,16 @@ Spark-first shape — the union + carry-forward window, not a range join:
 
 Cost: one hash exchange on the key + one in-partition sort — linear, no
 candidate explosion, no per-row subquery; identical to how kdb/Flink
-execute as-of at scale. A broadcast variant is pointless here because the
-window already co-locates by key; skewed keys behave like any windowed
-aggregation (AQE handles the join-free plan's exchange).
+execute as-of at scale.
+
+HOT KEYS: a window partitions by the raw key, and AQE does not split a
+window partition — one pathologically hot key serializes into one task.
+``bucket_seconds`` opts into the time-bucketed pre-partition: the window
+key becomes (key, time-bucket), each bucket seeded with the latest right
+row from earlier buckets (computed on the tiny per-bucket-winner relation),
+so a hot key's timeline fans out across tasks. Bit-identical results to
+the plain path (asserted in tests/test_temporal.py), at the cost of two
+small extra shuffles — the dial you turn when one key dominates.
 
 Exact DuckDB oracle: ``ASOF LEFT JOIN`` (oracles.py ``asof_join_latest``).
 
@@ -41,11 +48,23 @@ def asof_join(
     key_cols: list[str],
     left_time: str,
     right_time: str,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: all left columns + the right side's value columns
     (and ``right_time``) from the latest right row with
-    ``right_time <= left_time`` per key; nulls when no such row."""
+    ``right_time <= left_time`` per key; nulls when no such row.
+
+    Right value columns may not collide with left column names (the
+    output would carry silent duplicates) — raises ``ValueError``;
+    rename or pre-project the right payload. ``bucket_seconds`` enables
+    the hot-key time-bucketed plan (see module doc)."""
     rvals = [c for c in right.columns if c not in key_cols]
+    clash = sorted(set(left.columns) & set(rvals))
+    if clash:
+        raise ValueError(
+            f"asof_join: right value columns {clash} collide with left "
+            "columns — rename or pre-project the right payload"
+        )
     lpart = left.select(
         *key_cols,
         F.col(left_time).cast("timestamp").alias("__t"),
@@ -58,17 +77,58 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.struct(*[F.col(c) for c in rvals]).alias("__r"),
     )
-    u = lpart.unionByName(rpart, allowMissingColumns=True)
+    out_left = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_right = [F.col(f"__c.{c}").alias(c) for c in rvals]
+
+    if bucket_seconds is None:
+        u = lpart.unionByName(rpart, allowMissingColumns=True)
+        w = (
+            W.partitionBy(*key_cols)
+            .orderBy(F.col("__t"), F.col("__side"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return (
+            u.withColumn("__c", F.last("__r", ignorenulls=True).over(w))
+            .filter(F.col("__side") == 1)
+            .select(*out_left, *out_right)
+        )
+
+    # ---- hot-key plan: window key = (key, time bucket), seeded buckets
+    b = lambda t: F.floor(F.unix_micros(t) / F.lit(bucket_seconds * 1_000_000))  # noqa: E731
+    lpart = lpart.withColumn("__b", b(F.col("__t")))
+    rpart = rpart.withColumn("__b", b(F.col("__t")))
+    # latest right row per (key, bucket) — the tiny relation the carry runs on
+    winners = rpart.groupBy(*key_cols, "__b").agg(
+        F.max_by("__r", F.col("__t")).alias("__r"), F.max("__t").alias("__t")
+    )
+    # every bucket that needs a seed: buckets holding left rows ∪ winner buckets
+    buckets = (
+        lpart.select(*key_cols, "__b").distinct()
+        .unionByName(winners.select(*key_cols, "__b")).distinct()
+    )
+    carry_w = (
+        W.partitionBy(*key_cols).orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seeds = (
+        buckets.join(winners, [*key_cols, "__b"], "left")
+        .withColumn("__seed", F.last("__r", ignorenulls=True).over(carry_w))
+        .withColumn("__seed_t", F.last("__t", ignorenulls=True).over(carry_w))
+        .filter(F.col("__seed").isNotNull())
+        .select(*key_cols, "__b", F.col("__seed_t").alias("__t"),
+                F.lit(0).alias("__side"), F.col("__seed").alias("__r"))
+    )
+    # seed time is strictly before the bucket start, so it sorts first
+    u = lpart.unionByName(rpart, allowMissingColumns=True).unionByName(
+        seeds, allowMissingColumns=True
+    )
     w = (
-        W.partitionBy(*key_cols)
+        W.partitionBy(*key_cols, "__b")
         .orderBy(F.col("__t"), F.col("__side"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = F.last("__r", ignorenulls=True).over(w)
-    out_left = [F.col(f"__l.{c}").alias(c) for c in left.columns]
-    out_right = [F.col(f"__c.{c}").alias(c) for c in rvals]
     return (
-        u.withColumn("__c", carried)
+        u.withColumn("__c", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
         .select(*out_left, *out_right)
     )
@@ -82,6 +142,8 @@ def interval_join(
     end_col: str,
     key_cols: list[str] | None = None,
     bin_seconds: int = 3600,
+    max_span_bins: int = 4096,
+    long_interval: str = "error",
 ) -> DataFrame:
     """Range join: pair each event with every interval containing it
     (half-open ``start <= t < end``), optionally also keyed on equality
@@ -98,9 +160,18 @@ def interval_join(
     needed. Pick ``bin_seconds`` near the typical interval length: the
     explode factor stays O(1) and the plan is one keyed shuffle each side.
 
+    ROW-BOMB GUARD: an interval spanning more than ``max_span_bins`` bins
+    (a degenerate/unbounded interval — e.g. a 10-year span at 1-hour bins)
+    would explode into that many rows. ``long_interval='error'`` (default)
+    fails the job with a clear message naming the dial to turn;
+    ``'drop'`` excludes such intervals. Raise ``bin_seconds`` (or
+    ``max_span_bins``) when long intervals are legitimate.
+
     Empty/inverted intervals (end <= start) are dropped (half-open
     semantics — they can contain nothing).
     """
+    if long_interval not in ("error", "drop"):
+        raise ValueError("long_interval must be 'error' or 'drop'")
     keys = list(key_cols or [])
     w = F.lit(bin_seconds * 1_000_000).cast("long")
     t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
@@ -108,10 +179,29 @@ def interval_join(
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
 
     lpart = events.withColumn("__bin", F.floor(t_us / w))
-    rpart = (
-        intervals.filter(e_us > s_us)
-        .withColumn("__bin", F.explode(F.sequence(F.floor(s_us / w), F.floor((e_us - 1) / w))))
-    )
+    first_bin, last_bin = F.floor(s_us / w), F.floor((e_us - 1) / w)
+    n_bins = last_bin - first_bin + 1
+    rpart = intervals.filter(e_us > s_us)
+    if long_interval == "drop":
+        rpart = rpart.filter(n_bins <= max_span_bins)
+        guarded_last = last_bin
+    else:
+        # embedded in the hot expression so Catalyst cannot prune it away
+        guarded_last = F.when(n_bins <= max_span_bins, last_bin).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_join: interval spans more than {max_span_bins} "
+                        f"bins of {bin_seconds}s (start="
+                    ),
+                    F.col(start_col).cast("string"), F.lit(", end="),
+                    F.col(end_col).cast("string"),
+                    F.lit(") — raise bin_seconds/max_span_bins or pass "
+                          "long_interval='drop'"),
+                )
+            ).cast("long")
+        )
+    rpart = rpart.withColumn("__bin", F.explode(F.sequence(first_bin, guarded_last)))
     joined = lpart.join(rpart, keys + ["__bin"])
     t_j = F.unix_micros(F.col(time_col).cast("timestamp"))
     s_j = F.unix_micros(F.col(start_col).cast("timestamp"))

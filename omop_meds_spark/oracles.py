@@ -441,8 +441,17 @@ sig AS (
   SELECT doc_id,
          {_MH}
   FROM sh),
-banded AS (
+banded_all AS (
 {_BANDS}
+),
+-- degenerate-bucket cap: mirrors the Spark side's max_bucket=1000
+-- (operators/dedup.py:136-141) so parity holds even when a band bucket
+-- exceeds the cap at larger SF
+banded AS (
+  SELECT b.* FROM banded_all b
+  JOIN (SELECT band, bh FROM banded_all GROUP BY band, bh
+        HAVING COUNT(*) <= 1000) ok
+    ON b.band = ok.band AND b.bh = ok.bh
 )
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
@@ -472,8 +481,14 @@ sig AS (
   SELECT doc_id,
          {_MH}
   FROM sh),
-banded AS (
+banded_all AS (
 {_BANDS}
+),
+banded AS (
+  SELECT b.* FROM banded_all b
+  JOIN (SELECT band, bh FROM banded_all GROUP BY band, bh
+        HAVING COUNT(*) <= 1000) ok
+    ON b.band = ok.band AND b.bh = ok.bh
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b

@@ -63,6 +63,93 @@ def test_asof_join_partition_invariant(spark):
     assert a == b
 
 
+def test_asof_join_rejects_colliding_right_columns(spark):
+    """A right value column sharing a name with a left column would emit
+    duplicate output names that break select-by-name silently — raise."""
+    import pytest
+
+    left = spark.createDataFrame([(1, "A", _ts("2024-01-01 10:00:00"), 5.0)],
+                                 "id long, k string, t timestamp, price double")
+    dim = spark.createDataFrame([("A", _ts("2024-01-01 09:00:00"), 1.0)],
+                                "k string, dim_t timestamp, price double")
+    with pytest.raises(ValueError, match="price"):
+        asof_join(left, dim, ["k"], "t", "dim_t")
+
+
+def test_asof_join_hot_key_bucketing_matches_plain(spark):
+    """Single-key skew corpus: the time-bucketed plan must return the
+    bit-identical result to the plain window while splitting the hot key
+    across many window partitions (no single straggler task owns the whole
+    timeline)."""
+    import pyspark.sql.functions as F
+
+    n = 5000
+    left = (
+        spark.range(n).select(
+            F.col("id"),
+            F.lit("hot").alias("k"),
+            (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+             + F.make_interval(mins=F.col("id"))).alias("t"),
+        )
+    )
+    dim = left.filter(F.col("id") % 97 == 0).select(
+        "k", F.col("t").alias("dim_t"), (F.col("id") * 2.0).alias("v")
+    )
+    plain = asof_join(left, dim, ["k"], "t", "dim_t")
+    bucketed = asof_join(left, dim, ["k"], "t", "dim_t", bucket_seconds=6 * 3600)
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in bucketed.collect()}
+    assert a == b and len(a) == n
+    # the hot key genuinely fans out: many distinct (key, bucket) partitions
+    n_buckets = (
+        left.select(F.floor(F.unix_micros("t") / (6 * 3600 * 1_000_000)).alias("b"))
+        .distinct().count()
+    )
+    assert n_buckets > 10
+
+
+def test_asof_join_hot_key_seeds_empty_buckets(spark):
+    """A left bucket with no right rows anywhere nearby must still see the
+    carry from much earlier buckets (seed correctness across gaps)."""
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-06-01 10:00:00"))], "id long, k string, t timestamp"
+    )
+    dim = spark.createDataFrame(
+        [("A", _ts("2024-01-01 00:00:00"), 42.0)], "k string, dim_t timestamp, v double"
+    )
+    out = asof_join(left, dim, ["k"], "t", "dim_t", bucket_seconds=3600).collect()
+    assert out[0]["v"] == 42.0
+
+
+def test_interval_join_long_interval_guard(spark):
+    """A degenerate 10-year interval must not become an 87k-row bomb:
+    default mode fails the job with the dial named; 'drop' completes with
+    the degenerate interval excluded."""
+    import pytest
+    from omop_meds_spark.operators.temporal import interval_join
+
+    ev = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00")), (2, _ts("2029-01-01 10:00:00"))],
+        "id long, t timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(100, _ts("2024-01-01 00:00:00"), _ts("2034-01-01 00:00:00")),  # 10y bomb
+         (101, _ts("2024-01-01 09:00:00"), _ts("2024-01-01 11:00:00"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    with pytest.raises(Exception, match="max_span_bins|spans more than"):
+        interval_join(ev, iv, "t", "s", "e").collect()
+    got = {(r["id"], r["iid"])
+           for r in interval_join(ev, iv, "t", "s", "e",
+                                  long_interval="drop").collect()}
+    assert got == {(1, 101)}
+    # a legitimately long interval passes once the dials are raised
+    wide = {(r["id"], r["iid"])
+            for r in interval_join(ev, iv, "t", "s", "e",
+                                   bin_seconds=30 * 24 * 3600).collect()}
+    assert wide == {(1, 100), (1, 101), (2, 100)}
+
+
 def test_interval_join_containment_and_edges(spark):
     from omop_meds_spark.operators.temporal import interval_join
 
