@@ -391,6 +391,7 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
+    detail: dict = {}  # bulky raw trials → BENCH_LOCAL.json, not the stdout line
     if not args.no_scaling:
         wal = _shm_wal(_ensure_wal())
         result["cdc_replay"] = {}
@@ -422,6 +423,19 @@ def main() -> None:
             result["scaling_efficiency"] = full["scaling_efficiency"]
         if full is not None:
             result["scaling_efficiency_full_replay"] = full["scaling_efficiency"]
+        # the stdout line must survive tail-truncating captures (round 2 lost
+        # its per-query block that way): keep it COMPACT — strip the raw
+        # per-trial arrays into BENCH_LOCAL.json and print the summary last
+        detail = json.loads(json.dumps(result))  # deep copy before slimming
+        cr = result.get("cdc_replay", {})
+        if "controlled" in cr:
+            for k in ("trials", "pair_efficiencies", "valid_pair_indices"):
+                cr["controlled"].pop(k, None)
+        if "full_replay" in cr:
+            for blk in cr["full_replay"].values():
+                if isinstance(blk, dict):
+                    blk.pop("runs", None)
+    (REPO / "BENCH_LOCAL.json").write_text(json.dumps(detail or result, indent=1))
     print(json.dumps(result))
 
 
