@@ -62,10 +62,25 @@ class EventConfig:
 
 
 def load_event_config(path: str | Path) -> EventConfig:
-    """Parse + structurally validate an event config YAML."""
+    """Parse + structurally validate an event config YAML file."""
+    return load_event_config_text(Path(path).read_text(), name=str(path))
+
+
+def packaged_event_config(resource: str) -> EventConfig:
+    """Load a config shipped inside the package (``configs/<name>.yaml``) —
+    importlib.resources, so it works identically from a source tree and
+    from a ``spark-submit --py-files`` zip archive."""
+    from importlib.resources import files
+
+    text = files("omop_meds_spark").joinpath("configs", resource).read_text()
+    return load_event_config_text(text, name=f"omop_meds_spark/configs/{resource}")
+
+
+def load_event_config_text(text: str, name: str = "<config>") -> EventConfig:
     import yaml
 
-    raw = yaml.safe_load(Path(path).read_text())
+    raw = yaml.safe_load(text)
+    path = name
     if not isinstance(raw, dict):
         raise EventConfigError(f"{path}: top level must be a mapping")
     subject = raw.get("subject_id_col")

@@ -88,3 +88,20 @@ def make_code_mapper(mapping: dict[str, str], default_prefix: str = "LANG//"):
         return mapped.fillna(fallback)
 
     return map_code
+
+
+def code_map_builtin(mapping: dict[str, str], col: F.Column | str,
+                     default_prefix: str = "LANG//") -> F.Column:
+    """JVM twin of ``make_code_mapper`` for the hot path: the mapping ships
+    as a map literal and the lookup stays inside whole-stage codegen — no
+    Arrow round-trip, no Python worker on the batch critical path (the
+    per-batch Python-worker spin-up is pure serial cost that the N→4N
+    scaling pays twice). Bit-equal to the pandas UDF (pinned in
+    tests/test_multimodal_udfs.py); the UDF remains the showcase for
+    mappings that genuinely need Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.create_map(*[F.lit(x) for kv in sorted(mapping.items()) for x in kv])
+    return F.coalesce(
+        F.element_at(m, c),
+        F.concat(F.lit(default_prefix), F.coalesce(c, F.lit("unknown"))),
+    )

@@ -333,11 +333,9 @@ def meds_event_explosion_cfg(spark, sf_dir):
     (event_configs.yaml consumed at runtime). Must produce the identical
     event stream to the Python-declared ``meds_event_explosion`` (same
     oracle SQL proves it)."""
-    from pathlib import Path
+    from .event_config import events_from_config, packaged_event_config
 
-    from .event_config import events_from_config, load_event_config
-
-    cfg = load_event_config(Path(__file__).parent / "configs" / "order_events.yaml")
+    cfg = packaged_event_config("order_events.yaml")
     orders = t(spark, sf_dir, "orders").withColumn(
         "o_end_date", F.col("o_orderdate") + F.expr("INTERVAL 720 HOURS")
     )

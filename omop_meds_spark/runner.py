@@ -93,8 +93,11 @@ def normalize_events(df: DataFrame) -> DataFrame:
       array Columns (whole-stage codegen; the pandas-UDF twin
       ``arrow_udfs.content_metrics`` is tested bit-equal and swaps in where
       Python-side libraries are needed),
-    * ``lang_code`` — code-mapping via a closed-over Arrow-batched pandas
-      UDF (the concept-dictionary analogue; broadcast-join variant in
+    * ``lang_code`` — code-mapping via a JVM map-literal lookup
+      (``code_map_builtin``; the Arrow-batched pandas-UDF twin
+      ``make_code_mapper`` is tested bit-equal and exercised by the
+      ``code_mapping_udf`` query — per-batch Python-worker spin-up is
+      serial cost the hot path need not pay; broadcast-join variant in
       operators/joins.py for large dictionaries).
 
     All derived columns persist into the state table (they are the
@@ -102,9 +105,8 @@ def normalize_events(df: DataFrame) -> DataFrame:
     replay oracle.
     """
     from .functions import text as TX
-    from .functions.arrow_udfs import content_metrics_builtin, make_code_mapper
+    from .functions.arrow_udfs import code_map_builtin, content_metrics_builtin
 
-    mapper = make_code_mapper(LANG_CODE_MAP)
     c = F.col("content")
     n_lines, _n_bytes, max_line_len = content_metrics_builtin(c)
     return (
@@ -113,7 +115,7 @@ def normalize_events(df: DataFrame) -> DataFrame:
         .withColumn("lang_pred", TX.lang_id(c))
         .withColumn("n_lines", n_lines)
         .withColumn("max_line_len", max_line_len)
-        .withColumn("lang_code", mapper(F.col("lang")))
+        .withColumn("lang_code", code_map_builtin(LANG_CODE_MAP, F.col("lang")))
     )
 
 

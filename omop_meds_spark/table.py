@@ -507,6 +507,9 @@ class SnapshotTable:
         state = self.latest()
         if state is None:
             return None
+        entries = self._log_entries()
+        if entries[-1][1] == "ckpt":
+            return state["version"]  # already checkpointed
         self._write_manifest({**state, "kind": "ckpt"}, state["version"], "ckpt",
                              allow_existing_delta=True)
         return state["version"]

@@ -42,3 +42,34 @@ def test_cli_full_lifecycle(spark, tmpdir_path, capsys):
     assert main(["status", "--table", tbl]) == 0
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["committed_batches"] == 2 and st["buckets"] > 0
+
+
+def test_package_runs_from_pyfiles_zip(tmpdir_path):
+    """spark-submit --py-files ships the package as a zip on sys.path
+    (zipimport) — the whole package must import and do driver-side work
+    from inside the archive (no __file__-relative data access on import)."""
+    import subprocess
+    import sys
+    import zipfile
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    zpath = Path(tmpdir_path) / "omop_meds_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in sorted((repo / "omop_meds_spark").rglob("*")):
+            if f.suffix in (".py", ".yaml"):
+                z.write(f, f.relative_to(repo))
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "import omop_meds_spark\n"
+        "assert 'omop_meds_spark.zip' in omop_meds_spark.__file__, omop_meds_spark.__file__\n"
+        "from omop_meds_spark.operators.similarity import plane_weights\n"
+        "from omop_meds_spark.event_config import EventConfig\n"
+        "from omop_meds_spark.table import _absorb\n"
+        "assert plane_weights(4, 2) and _absorb(-1, set(), 0) == (0, set())\n"
+        "print('zip-ok')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code, str(zpath)],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "zip-ok" in out.stdout

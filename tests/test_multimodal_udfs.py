@@ -55,6 +55,28 @@ def test_code_mapper_fallback(docs):
     assert got[2] == "LANG//de"  # unmapped → composed fallback code
 
 
+def test_code_map_builtin_bit_equal_to_pandas_udf(spark):
+    """The hot path's JVM map-literal lookup must match the pandas UDF on
+    every regime: mapped, unmapped (composed fallback), and null lang."""
+    from omop_meds_spark.functions.arrow_udfs import code_map_builtin
+
+    df = spark.createDataFrame(
+        [(0, "en"), (1, "py"), (2, "de"), (3, None), (4, "")],
+        "id long, lang string",
+    )
+    mapping = {"en": "LANG//english", "py": "LANG//python"}
+    mapper = make_code_mapper(mapping)
+    rows = df.select(
+        "id",
+        mapper("lang").alias("udf"),
+        code_map_builtin(mapping, "lang").alias("jvm"),
+    ).collect()
+    assert all(r["udf"] == r["jvm"] for r in rows), rows
+    by_id = {r["id"]: r["jvm"] for r in rows}
+    assert by_id[1] == "LANG//python" and by_id[2] == "LANG//de"
+    assert by_id[3] == "LANG//unknown" and by_id[4] == "LANG//"
+
+
 def test_decode_media_stub_deterministic(docs):
     out = decode_media(media_from_documents(docs)).collect()
     by_id = {r["media_id"]: r for r in out}
