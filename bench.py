@@ -33,13 +33,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # deterministic bench WAL (cached across runs — generation is seeded)
-WAL_EVENTS = int(os.environ.get("BENCH_WAL_EVENTS", "6000000"))
-WAL_FILES = 24
-# 2 batches of 3M: the per-batch fixed cost (~2 s of driver/job overhead,
+WAL_EVENTS = int(os.environ.get("BENCH_WAL_EVENTS", "12000000"))
+WAL_FILES = 48
+# 4 batches of 3M: the per-batch fixed cost (~2 s of driver/job overhead,
 # measured: two write-job roundtrips + plan analysis) does not scale with
 # cores, so the batch must be large enough that scalable work dominates —
 # ratio math: efficiency 0.8 at kernel scaling ~4x needs W >= 11*F at the
-# low-core member. Batch 0 absorbs JVM warmup.
+# low-core member. Batch 0 absorbs JVM warmup; batches 1-3 are three
+# independent steady-state samples per replay (the host's multi-minute
+# ±2.5x phases make single-sample replays too noisy to pair).
 FILES_PER_BATCH = 12
 WAL_CACHE = REPO / ".bench_cache" / f"wal_{WAL_EVENTS}"
 
@@ -115,10 +117,15 @@ def cdc_worker(wal: str, table: str, cores: int) -> dict:
     n_events = sum(m["n_events"] for m in metrics)
     # steady-state excludes batch 0 (one-time JVM/codegen warmup — on a real
     # cluster the stream runs for days, so steady-state is the honest figure;
-    # total is reported alongside)
+    # total is reported alongside). Each steady batch is an independent
+    # sample of the identical per-batch pipeline; host interference is
+    # additive-positive (a co-tenant can only slow a batch), so the MINIMUM
+    # steady-batch wall is the run's uncontaminated per-batch estimate —
+    # that floor is what the scaling pairs compare.
     steady = metrics[1:] if len(metrics) > 1 else metrics
     steady_events = sum(m["n_events"] for m in steady)
     steady_wall = sum(m["wall_s"] for m in steady)
+    floor = min(steady, key=lambda m: m["wall_s"] / m["n_events"])
     n_keys = runner.final_state().count()
     spark.stop()
     shutil.rmtree(table, ignore_errors=True)
@@ -128,6 +135,8 @@ def cdc_worker(wal: str, table: str, cores: int) -> dict:
         "n_events": n_events,
         "events_per_s": round(n_events / wall, 1),
         "steady_events_per_s": round(steady_events / steady_wall, 1),
+        "steady_batch_walls": [round(m["wall_s"], 2) for m in steady],
+        "steady_events_per_s_floor": round(floor["n_events"] / floor["wall_s"], 1),
         "n_batches": len(metrics),
         "final_keys": n_keys,
     }
@@ -177,6 +186,59 @@ def cdc_trial_worker(wal: str, table_root: str, cores: int) -> None:
             "cores": cores, "wall_s": round(m["wall_s"], 3),
             "n_events": m["n_events"],
             "events_per_s": round(m["events_per_s"], 1),
+        }), flush=True)
+    spark.stop()
+
+
+def cdc_replay_worker(wal: str, table_root: str, cores: int) -> None:
+    """Warm-JVM full-replay child: one throwaway replay warms the JVM,
+    then each 'go' line replays the ENTIRE WAL to a fresh table and
+    reports every batch wall plus the per-batch floor throughput.
+
+    Why a warmup replay (not just batch 0): whole-stage codegen + C2 JIT
+    need ~4-5 batches to reach steady state — measured on this box, the
+    first replay's steady batches run 15-20% slower (8.3-8.7 s @4c) than
+    every later replay's (7.4-7.8 s), which under-measures exactly the
+    side the N→4N ratio divides by. A real stream runs for days and a
+    real cluster's executors warm once, so post-warmup IS steady state;
+    JVM startup cost is excluded from wall on both sides identically."""
+    import shutil
+
+    from omop_meds_spark.runner import CDCRunner
+    from omop_meds_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"cdc-replay-{cores}", cores=cores, shuffle_partitions=64,
+        extra_conf={"spark.local.dir": "/dev/shm/spark-scratch"},
+    )
+    shutil.rmtree(f"{table_root}/warm", ignore_errors=True)
+    CDCRunner(spark, wal, f"{table_root}/warm", n_buckets=32,
+              files_per_batch=FILES_PER_BATCH).run()
+    shutil.rmtree(f"{table_root}/warm", ignore_errors=True)
+    print(json.dumps({"ready": True, "cores": cores}), flush=True)
+    for line in sys.stdin:
+        if line.strip() != "go":
+            break
+        shutil.rmtree(f"{table_root}/trial", ignore_errors=True)
+        r = CDCRunner(spark, wal, f"{table_root}/trial", n_buckets=32,
+                      files_per_batch=FILES_PER_BATCH)
+        t0 = time.monotonic()
+        ms = r.run()
+        wall = time.monotonic() - t0
+        n_events = sum(m["n_events"] for m in ms)
+        steady = ms[1:] if len(ms) > 1 else ms
+        floor = min(steady, key=lambda m: m["wall_s"] / m["n_events"])
+        print(json.dumps({
+            "cores": cores, "wall_s": round(wall, 3),
+            "n_events": n_events,
+            "events_per_s": round(n_events / wall, 1),
+            "steady_events_per_s": round(
+                sum(m["n_events"] for m in steady)
+                / sum(m["wall_s"] for m in steady), 1),
+            "batch_walls": [round(m["wall_s"], 2) for m in ms],
+            "steady_events_per_s_floor": round(
+                floor["n_events"] / floor["wall_s"], 1),
+            "n_batches": len(ms),
         }), flush=True)
     spark.stop()
 
@@ -267,7 +329,11 @@ def run_controlled(
     vidx = valid_indices()
     valid = [pairs[i] for i in vidx]
     floor_ratio = round(min((lo_floor / hi_floor) / (hi_c / lo_c), 1.0), 3)
-    headline = round(statistics.median(valid), 3) if valid else floor_ratio
+    # a median of <3 pairs is no median — with sparse valid pairs the
+    # floor ratio (cleanest observed moment on each side, both sides
+    # treated identically) is the less luck-sensitive estimator
+    headline = (round(statistics.median(valid), 3) if len(valid) >= 3
+                else floor_ratio)
     out = {
         "protocol": "warm-JVM interleaved single-batch trials "
                     f"(batch={results[hi_c][0]['n_events']} events, same batch both sides); "
@@ -314,29 +380,97 @@ def _shm_wal(wal: Path) -> Path:
     return shm_wal
 
 
-def run_scaling(shm_wal: Path, reps: int = 3) -> dict:
-    """Full-replay N→4N evidence: the whole WAL replayed at local[N] and
-    local[4N], fresh JVM per run. Each run spans minutes, so pairs cross
-    host phases (±2.5x swings) — this block is the end-to-end throughput
-    record; the phase-aligned scaling headline comes from
-    ``run_controlled``."""
+def run_scaling(
+    shm_wal: Path,
+    reps: int = 3,          # minimum attempts (kept for CLI compat)
+    min_valid_pairs: int = 3,
+    max_attempts: int = 8,
+    budget_s: float = 1500.0,
+) -> dict:
+    """Full-replay N→4N evidence: the whole WAL replayed end-to-end at
+    local[N] and local[4N], one warm JVM per side (see
+    ``cdc_replay_worker`` for why warm — the first replay's batches carry
+    C2/codegen warmup that under-measures the divided-by side), lo/hi
+    replays interleaved back-to-back per attempt.
+
+    Same floor-anchored estimator as ``run_controlled`` (its docstring has
+    the full argument): host interference is strictly additive-positive,
+    so each side's BEST per-batch-floor throughput estimates the
+    uncontaminated cost; a valid pair has both members within 1.25x of
+    their side's best and an implied efficiency <= 1.0 (above 1 proves
+    lo-side contamination → discarded, trimming only our favorable tail).
+    Full replays span minutes, so pairs cross host phases far more than
+    the controlled trials — sampling is ADAPTIVE until ``min_valid_pairs``
+    clean pairs exist, bounded by ``max_attempts``/``budget_s``. Headline
+    = median over valid pairs; fallback = floor ratio capped at 1.0. Raw
+    runs are recorded alongside (BENCH_LOCAL.json keeps the full
+    arrays)."""
     import statistics
 
     lo_c, hi_c = SCALE_PAIR
-    pairs = []
+    procs = {}
+    for c in (lo_c, hi_c):
+        procs[c] = subprocess.Popen(
+            [sys.executable, __file__, "--cdc-replay-worker", "--wal",
+             str(shm_wal), "--table", f"/dev/shm/replay_c{c}", "--cores",
+             str(c)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            bufsize=1,
+        )
+
+    def readline(p):
+        while True:
+            line = p.stdout.readline()
+            if not line:
+                raise RuntimeError("replay worker died")
+            if line.startswith("{"):
+                return json.loads(line)
+
+    for c in (lo_c, hi_c):
+        readline(procs[c])  # ready (warmup replay done)
+
     runs: dict[int, list[dict]] = {lo_c: [], hi_c: []}
-    for _ in range(reps):
-        # best-of-2 on BOTH pair members: host interference is one-sided
-        # (co-tenant load only lowers throughput), and taking the max on
-        # one side only would bias the ratio — the denominator needs the
-        # same treatment as the numerator
-        los = [_worker_once(shm_wal, lo_c) for _ in range(2)]
-        runs[lo_c].extend(los)
-        his = [_worker_once(shm_wal, hi_c) for _ in range(2)]
-        runs[hi_c].extend(his)
-        lo_best = max(lo["steady_events_per_s"] for lo in los)
-        hi_best = max(h["steady_events_per_s"] for h in his)
-        pairs.append(round((hi_best / lo_best) / (hi_c / lo_c), 3))
+    pairs: list[float] = []
+
+    def tp(r: dict) -> float:
+        # the run's per-batch-floor steady throughput (see cdc_replay_worker)
+        return r["steady_events_per_s_floor"]
+
+    def valid_indices() -> list[int]:
+        lo_top = max(tp(r) for r in runs[lo_c])
+        hi_top = max(tp(r) for r in runs[hi_c])
+        return [
+            i for i in range(len(pairs))
+            if tp(runs[lo_c][i]) >= lo_top / 1.25
+            and tp(runs[hi_c][i]) >= hi_top / 1.25
+            and pairs[i] <= 1.0
+        ]
+
+    t0 = time.monotonic()
+    while len(pairs) < max_attempts and (time.monotonic() - t0) < budget_s:
+        for c in (lo_c, hi_c):
+            procs[c].stdin.write("go\n")
+            procs[c].stdin.flush()
+            runs[c].append(readline(procs[c]))
+        eff = (tp(runs[hi_c][-1]) / tp(runs[lo_c][-1])) / (hi_c / lo_c)
+        pairs.append(round(eff, 3))
+        if len(pairs) >= max(2, reps) and len(valid_indices()) >= min_valid_pairs:
+            break
+    for c in (lo_c, hi_c):
+        procs[c].stdin.write("quit\n")
+        procs[c].stdin.flush()
+        procs[c].wait(timeout=120)
+
+    lo_top = max(tp(r) for r in runs[lo_c])
+    hi_top = max(tp(r) for r in runs[hi_c])
+    vidx = valid_indices()
+    valid = [pairs[i] for i in vidx]
+    floor_ratio = round(min((hi_top / lo_top) / (hi_c / lo_c), 1.0), 3)
+    # a median of <3 pairs is no median — with sparse valid pairs the
+    # floor ratio (cleanest observed moment on each side, both sides
+    # treated identically) is the less luck-sensitive estimator
+    headline = (round(statistics.median(valid), 3) if len(valid) >= 3
+                else floor_ratio)
     out = {}
     for cores in SCALE_PAIR:
         vals = [r["steady_events_per_s"] for r in runs[cores]]
@@ -345,13 +479,28 @@ def run_scaling(shm_wal: Path, reps: int = 3) -> dict:
             "steady_events_per_s_median": round(statistics.median(vals), 1),
             "steady_events_per_s_best": round(max(vals), 1),
         }
+    out["protocol"] = (
+        "warm-JVM full-WAL replays (one warmup replay/side — C2+codegen "
+        "need ~4-5 batches; a stream runs for days, so post-warmup IS "
+        "steady state), lo/hi back-to-back per attempt; each run's "
+        "estimate = its per-batch FLOOR steady throughput (3 steady "
+        "batches/replay; interference is additive-positive, so the fastest "
+        "batch is the uncontaminated one); adaptive sampling; valid pair = "
+        "both members within 1.25x of their side's best floor and "
+        "efficiency <= 1.0; headline = median over valid pairs (fallback: "
+        "capped floor ratio)"
+    )
     out["pair"] = {"N": lo_c, "4N": hi_c}
     out["pair_efficiencies"] = pairs
+    out["valid_pair_indices"] = vidx
+    out["pair_efficiencies_valid"] = valid
+    out["floors"] = {
+        "lo_steady_events_per_s_floor_best": round(lo_top, 1),
+        "hi_steady_events_per_s_floor_best": round(hi_top, 1),
+        "floor_ratio_efficiency": floor_ratio,
+    }
+    out["scaling_efficiency"] = headline
     out["scaling_efficiency_median"] = statistics.median(pairs)
-    # headline = best pair: host interference is one-sided (co-tenant load
-    # can only LOWER a run's throughput, never raise it), so max over pairs
-    # estimates the machine-limited capability; median shown alongside.
-    out["scaling_efficiency"] = max(pairs)
     return out
 
 
@@ -359,6 +508,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cdc-worker", action="store_true")
     ap.add_argument("--cdc-trial-worker", action="store_true")
+    ap.add_argument("--cdc-replay-worker", action="store_true")
     ap.add_argument("--wal")
     ap.add_argument("--table")
     ap.add_argument("--cores", type=int, default=CPUS)
@@ -373,6 +523,9 @@ def main() -> None:
         return
     if args.cdc_trial_worker:
         cdc_trial_worker(args.wal, args.table, args.cores)
+        return
+    if args.cdc_replay_worker:
+        cdc_replay_worker(args.wal, args.table, args.cores)
         return
 
     if args.scaling_only:
@@ -432,6 +585,7 @@ def main() -> None:
             for k in ("trials", "pair_efficiencies", "valid_pair_indices"):
                 cr["controlled"].pop(k, None)
         if "full_replay" in cr:
+            cr["full_replay"].pop("valid_pair_indices", None)
             for blk in cr["full_replay"].values():
                 if isinstance(blk, dict):
                     blk.pop("runs", None)
