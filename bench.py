@@ -247,8 +247,8 @@ def run_controlled(
     wal: Path,
     min_valid_pairs: int = 4,
     min_trials: int = 6,
-    max_trials: int = 12,
-    budget_s: float = 700.0,
+    max_trials: int = 14,
+    budget_s: float = 900.0,
 ) -> dict:
     """Phase-aligned N vs 4N measurement: one warm JVM per parallelism
     level, the SAME 3M-event batch applied per trial, lo/hi runs
