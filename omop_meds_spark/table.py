@@ -322,6 +322,117 @@ class SnapshotTable:
                                   salted=False)
         return df.filter(F.col(op_col) != "D")
 
+    def read_changes(self, spark: SparkSession, since_version: int,
+                     to_version: int | None = None,
+                     ignore_cow: bool = False) -> DataFrame | None:
+        """Incremental change feed (Delta CDF / Iceberg incremental-scan
+        analogue): the winner rows committed by every data commit in
+        ``(since_version, to_version]``, annotated with ``_commit_version``
+        and ``_commit_batch_id``. The scan is manifest-driven — cost is
+        O(changed data in the range), never a table scan — so a downstream
+        consumer (index builder, replica, feature pipeline) tails the table
+        by polling ``version`` and reading only what's new.
+
+        Rows are the per-batch LWW winners exactly as committed (CDC
+        envelope intact, tombstones included as ``op = 'D'`` rows);
+        a key updated in several commits of the range appears once per
+        commit — consumers re-reduce with their own LWW if they need
+        final-state semantics.
+
+        Compaction versions contribute nothing (file rewrites, no logical
+        change). Copy-on-write data commits (``commit_merged``) replace
+        whole buckets, so their net change is not row-extractable — they
+        raise unless ``ignore_cow=True`` (the merge-on-read hot path never
+        produces them). Returns None when the range holds no changes.
+        Raises on a range whose manifests were vacuumed away."""
+        head = self.version
+        to_version = head if to_version is None else to_version
+        if since_version >= to_version:
+            return None
+        if to_version > head:
+            raise ValueError(
+                f"read_changes: to_version {to_version} is beyond head {head}")
+        entries = [(v, k, p) for v, k, p in self._raw_log_entries()
+                   if since_version < v <= to_version]
+        # versions are contiguous by construction — a hole means vacuum
+        # retired part of the range; silently skipping it would drop changes
+        missing = set(range(since_version + 1, to_version + 1)) - {
+            v for v, _, _ in entries}
+        if missing:
+            raise ValueError(
+                f"read_changes: versions {sorted(missing)} in "
+                f"({since_version}, {to_version}] are no longer in the log "
+                f"(vacuumed)")
+        parts: list[DataFrame] = []
+        for v, _, p in entries:
+            d = json.loads(p.read_text())
+            adds = [str(self.root / f) for fs in d.get("files_add", {}).values()
+                    for f in fs]
+            if (not adds and d.get("commit") is not None
+                    and d.get("files_replace")):
+                if ignore_cow:
+                    continue
+                raise ValueError(
+                    f"read_changes: v{v} is a copy-on-write commit "
+                    f"(batch {d['commit']}); its net change is not "
+                    f"row-extractable — pass ignore_cow=True to skip")
+            if not adds:
+                continue  # compaction / empty batch
+            parts.append(
+                spark.read.option("mergeSchema", "true").parquet(*adds)
+                .withColumn("_commit_version", F.lit(v))
+                .withColumn("_commit_batch_id", F.lit(d["batch_id"]))
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    def _raw_log_entries(self) -> list[tuple[int, str, Path]]:
+        """Like ``_log_entries`` but prefers the DELTA manifest when a
+        version exists as both (post-hoc checkpoint promotion keeps the
+        original delta on disk) — the delta carries that commit's
+        ``files_add``, which the change feed needs."""
+        seen: dict[int, tuple[str, Path]] = {}
+        for p in (self.root / "_log").iterdir():
+            m = _LOG_RE.match(p.name)
+            if not m:
+                continue
+            v, kind = int(m.group(1)), m.group(2)
+            if v not in seen or kind == "delta":
+                seen[v] = (kind, p)
+        return [(v, k, p) for v, (k, p) in sorted(seen.items())]
+
+    def key_bucket(self, spark: SparkSession, key: dict) -> int:
+        """The bucket that owns ``key`` (one tiny driver-local job — the
+        hash must be Spark's own xxhash64, bit-for-bit). Point lookups
+        then read 1/n_buckets of the table:
+        ``t.read_live(spark, buckets=[t.key_bucket(spark, k)])`` plus an
+        equality filter that parquet pushes down."""
+        missing = [c for c in self.key_cols if c not in key]
+        if missing:
+            raise ValueError(f"key_bucket: missing key columns {missing}")
+        row = (spark.createDataFrame([tuple(key[c] for c in self.key_cols)],
+                                     schema=self.key_cols)
+               .select(bucket_expr(self.key_cols, self.n_buckets).alias("b"))
+               .collect())
+        return int(row[0]["b"])
+
+    def lookup(self, spark: SparkSession, key: dict,
+               version: int | None = None) -> DataFrame | None:
+        """Manifest-pruned point lookup: scans only the key's bucket
+        (1/n_buckets of the files) with the equality predicate pushed to
+        parquet — the O(1)-ish primary-key read path."""
+        b = self.key_bucket(spark, key)
+        df = self.read_live(spark, buckets=[b], version=version)
+        if df is None:
+            return None
+        for c in self.key_cols:
+            df = df.filter(F.col(c) == F.lit(key[c]))
+        return df
+
     # -------------------------------------------------------------- write
     def commit_delta(
         self,
@@ -608,9 +719,13 @@ class SnapshotTable:
         state = _apply_delta(prev, delta)
         if version % self.checkpoint_every == 0:
             # checkpoint carries the full state PLUS this commit's own
-            # lineage/metrics (so history scans see every batch exactly once)
+            # lineage/metrics and file delta (so history scans and the
+            # change feed see every batch exactly once)
             manifest = {**state, "kind": "ckpt",
-                        "lineage": delta["lineage"], "metrics": delta["metrics"]}
+                        "lineage": delta["lineage"], "metrics": delta["metrics"],
+                        "files_add": delta["files_add"],
+                        "files_replace": delta["files_replace"],
+                        "commit": delta["commit"]}
             self._write_manifest(manifest, version, "ckpt")
         else:
             self._write_manifest(delta, version, "delta")
