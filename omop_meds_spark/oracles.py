@@ -76,6 +76,19 @@ SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
 FROM w WHERE rn = 1 AND op <> 'D'
 """
 
+ORACLES["cdc_change_feed"] = """
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS seq_no, event_type,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_id, event_id % 2 AS commit_batch
+  FROM events),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, commit_batch
+                               ORDER BY seq_no DESC, event_id DESC) AS rn
+  FROM src)
+SELECT user_id, seq_no, event_type, op, commit_batch FROM w WHERE rn = 1
+"""
+
 ORACLES["dedup_earliest"] = """
 SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
 FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey

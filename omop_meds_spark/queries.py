@@ -122,6 +122,43 @@ def cdc_apply_events(spark, sf_dir):
     )
 
 
+def cdc_change_feed(spark, sf_dir):
+    """Incremental change feed, driven through the REAL table API: events
+    replayed into a SnapshotTable as two CDC batches (event_id-parity
+    split), then read back with ``read_changes`` — per-commit LWW winner
+    rows, tombstones included, annotated with the committing batch. The
+    scan is manifest-driven (only the range's delta files), the
+    lakehouse CDF shape. The temp table is leaked to /tmp for the
+    DataFrame's lazy-read lifetime (OS-reaped)."""
+    import tempfile
+
+    from .table import SnapshotTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        # session tz is pinned UTC (session.py), so NTZ→TIMESTAMP is a
+        # tz-free reinterpretation — micros match DuckDB's epoch_us
+        .withColumn("seq_no", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("event_id", "seq_no", "user_id", "event_type", "op")
+    )
+    tbl = SnapshotTable(tempfile.mkdtemp(prefix="cdc_feed_"), ["user_id"],
+                        n_buckets=8)
+    for b in (0, 1):
+        winners = last_writer_wins(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == b), ["user_id"]
+        )
+        tbl.commit_delta_auto(winners, b)
+    feed = tbl.read_changes(spark, since_version=-1)
+    return feed.select(
+        "user_id", "seq_no", "event_type", "op",
+        F.col("_commit_batch_id").cast("long").alias("commit_batch"),
+    )
+
+
 def dedup_earliest(spark, sf_dir):
     """A1 exact reference semantics (earliest-wins, window variant):
     first order per customer by (o_orderdate, o_orderkey)."""
@@ -610,6 +647,7 @@ ALL_QUERIES = {
     "tpch_q5": tpch_q5,
     "cdc_upsert_latest": cdc_upsert_latest,
     "cdc_apply_events": cdc_apply_events,
+    "cdc_change_feed": cdc_change_feed,
     "dedup_earliest": dedup_earliest,
     "semi_join_cohort": semi_join_cohort,
     "anti_join_orphans": anti_join_orphans,
