@@ -85,3 +85,39 @@ def test_codes_metadata_joins_broadcast(spark):
     plan = _plan(spark, "codes_metadata")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "NestedLoop" not in plan
+
+
+def test_change_feed_zero_exchange_scan(spark, tmpdir_path):
+    """The change feed is a plain union of the range's delta-file scans —
+    no exchange, no join, no window; cost is O(changed data)."""
+    from omop_meds_spark.table import SnapshotTable
+
+    t = SnapshotTable(tmpdir_path, ["repo", "path"], n_buckets=4)
+    for i in range(3):
+        t.commit_delta_auto(
+            spark.createDataFrame([(f"r{i}", "p", i, "U")],
+                                  "repo string, path string, seq_no long, op string"),
+            i)
+    df = t.read_changes(spark, since_version=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _exchanges(plan) == 0
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_point_lookup_pushes_key_predicate(spark, tmpdir_path):
+    """The key equality must reach the parquet scan (PushedFilters), on a
+    scan already pruned to the key's single bucket."""
+    from omop_meds_spark.table import SnapshotTable
+
+    t = SnapshotTable(tmpdir_path, ["repo", "path"], n_buckets=8)
+    t.commit_delta_auto(
+        spark.createDataFrame([(f"r{i}", f"p{i}", i, "U") for i in range(20)],
+                              "repo string, path string, seq_no long, op string"),
+        0)
+    df = t.lookup(spark, {"repo": "r3", "path": "p3"})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "repo" in plan
+    m = t.latest()
+    b = t.key_bucket(spark, {"repo": "r3", "path": "p3"})
+    # single-generation bucket → fast path: no LWW exchange either
+    assert len(m["files"][str(b)]) == 1 and _exchanges(plan) == 0
