@@ -407,17 +407,29 @@ class SnapshotTable:
 
     def key_bucket(self, spark: SparkSession, key: dict) -> int:
         """The bucket that owns ``key`` (one tiny driver-local job — the
-        hash must be Spark's own xxhash64, bit-for-bit). Point lookups
-        then read 1/n_buckets of the table:
-        ``t.read_live(spark, buckets=[t.key_bucket(spark, k)])`` plus an
-        equality filter that parquet pushes down."""
+        hash must be Spark's own xxhash64, bit-for-bit). When the table
+        recorded a schema, the key literals are cast to the stored key
+        column types first: xxhash64(int32) != xxhash64(int64), so Python
+        type inference alone would silently hash into the wrong bucket
+        for narrow integer keys. Point lookups then read 1/n_buckets of
+        the table: ``t.read_live(spark, buckets=[t.key_bucket(spark,
+        k)])`` plus an equality filter that parquet pushes down."""
         missing = [c for c in self.key_cols if c not in key]
         if missing:
             raise ValueError(f"key_bucket: missing key columns {missing}")
-        row = (spark.createDataFrame([tuple(key[c] for c in self.key_cols)],
-                                     schema=self.key_cols)
-               .select(bucket_expr(self.key_cols, self.n_buckets).alias("b"))
-               .collect())
+        df = spark.createDataFrame([tuple(key[c] for c in self.key_cols)],
+                                   schema=self.key_cols)
+        m = self.latest()
+        if m is not None and m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            types = {f.name: f.dataType
+                     for f in StructType.fromJson(json.loads(m["schema"])).fields}
+            for c in self.key_cols:
+                if c in types:
+                    df = df.withColumn(c, F.col(c).cast(types[c]))
+        row = df.select(
+            bucket_expr(self.key_cols, self.n_buckets).alias("b")).collect()
         return int(row[0]["b"])
 
     def lookup(self, spark: SparkSession, key: dict,

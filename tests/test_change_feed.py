@@ -147,3 +147,22 @@ def test_point_lookup_scans_one_bucket(spark, tmpdir_path):
     # a deleted key returns no rows
     t.commit_delta_auto(_delta(spark, [("r7", "p7", 50, "D")]), 1)
     assert t.lookup(spark, key).count() == 0
+
+
+def test_key_bucket_casts_to_table_schema(spark, tmpdir_path):
+    """xxhash64(int32) != xxhash64(int64): with a recorded schema the key
+    literal must be cast to the stored type before hashing, else a Python
+    int (inferred bigint) hashes into the wrong bucket for int keys."""
+    from pyspark.sql import functions as F2
+
+    t = SnapshotTable(tmpdir_path, ["uid"], n_buckets=16)
+    df = spark.createDataFrame([(i, i * 10, "U") for i in range(50)],
+                               "uid int, seq_no long, op string")
+    t.commit_delta_auto(df, 0, schema_json=df.schema.json())
+    for probe in (7, 23):
+        b = t.key_bucket(spark, {"uid": probe})
+        expected = df.filter(F2.col("uid") == probe).select(
+            bucket_expr(["uid"], 16).alias("b")).collect()[0]["b"]
+        assert b == expected
+        assert [r["seq_no"] for r in t.lookup(spark, {"uid": probe}).collect()] \
+            == [probe * 10]
