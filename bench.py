@@ -240,6 +240,7 @@ def cdc_replay_worker(wal: str, table_root: str, cores: int) -> None:
                 floor["n_events"] / floor["wall_s"], 1),
             "n_batches": len(ms),
         }), flush=True)
+    shutil.rmtree(f"{table_root}/trial", ignore_errors=True)  # tmpfs is RAM
     spark.stop()
 
 
@@ -308,21 +309,29 @@ def run_controlled(
             and pairs[i] <= 1.0
         ]
 
-    t0 = time.monotonic()
-    while len(pairs) < max_trials and (time.monotonic() - t0) < budget_s:
+    try:
+        t0 = time.monotonic()
+        while len(pairs) < max_trials and (time.monotonic() - t0) < budget_s:
+            for c in (lo_c, hi_c):
+                procs[c].stdin.write("go\n")
+                procs[c].stdin.flush()
+                results[c].append(readline(procs[c]))
+            eff = (results[hi_c][-1]["events_per_s"] /
+                   results[lo_c][-1]["events_per_s"]) / (hi_c / lo_c)
+            pairs.append(round(eff, 3))
+            if len(pairs) >= min_trials and len(valid_indices()) >= min_valid_pairs:
+                break
+    finally:
+        import shutil
+
         for c in (lo_c, hi_c):
-            procs[c].stdin.write("go\n")
-            procs[c].stdin.flush()
-            results[c].append(readline(procs[c]))
-        eff = (results[hi_c][-1]["events_per_s"] /
-               results[lo_c][-1]["events_per_s"]) / (hi_c / lo_c)
-        pairs.append(round(eff, 3))
-        if len(pairs) >= min_trials and len(valid_indices()) >= min_valid_pairs:
-            break
-    for c in (lo_c, hi_c):
-        procs[c].stdin.write("quit\n")
-        procs[c].stdin.flush()
-        procs[c].wait(timeout=60)
+            try:
+                procs[c].stdin.write("quit\n")
+                procs[c].stdin.flush()
+                procs[c].wait(timeout=60)
+            except Exception:  # noqa: BLE001 — already dead / pipe closed
+                procs[c].kill()
+            shutil.rmtree(f"/dev/shm/trial_c{c}", ignore_errors=True)
 
     lo_floor = min(r["wall_s"] for r in results[lo_c])
     hi_floor = min(r["wall_s"] for r in results[hi_c])
@@ -358,16 +367,6 @@ def run_controlled(
             "events_per_s_best": round(max(vals), 1),
         }
     return out
-
-
-def _worker_once(wal: Path, cores: int) -> dict:
-    table = f"/dev/shm/bench_table_c{cores}"
-    proc = subprocess.run(
-        [sys.executable, __file__, "--cdc-worker", "--wal", str(wal),
-         "--table", table, "--cores", str(cores)],
-        capture_output=True, text=True, timeout=1800,
-    )
-    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def _shm_wal(wal: Path) -> Path:
@@ -446,20 +445,31 @@ def run_scaling(
             and pairs[i] <= 1.0
         ]
 
-    t0 = time.monotonic()
-    while len(pairs) < max_attempts and (time.monotonic() - t0) < budget_s:
+    try:
+        t0 = time.monotonic()
+        while len(pairs) < max_attempts and (time.monotonic() - t0) < budget_s:
+            for c in (lo_c, hi_c):
+                procs[c].stdin.write("go\n")
+                procs[c].stdin.flush()
+                runs[c].append(readline(procs[c]))
+            eff = (tp(runs[hi_c][-1]) / tp(runs[lo_c][-1])) / (hi_c / lo_c)
+            pairs.append(round(eff, 3))
+            if (len(pairs) >= max(2, reps)
+                    and len(valid_indices()) >= min_valid_pairs):
+                break
+    finally:
+        # a worker dying mid-protocol must not leak its sibling's warm JVM
+        # or the RAM-backed /dev/shm replay tables
+        import shutil
+
         for c in (lo_c, hi_c):
-            procs[c].stdin.write("go\n")
-            procs[c].stdin.flush()
-            runs[c].append(readline(procs[c]))
-        eff = (tp(runs[hi_c][-1]) / tp(runs[lo_c][-1])) / (hi_c / lo_c)
-        pairs.append(round(eff, 3))
-        if len(pairs) >= max(2, reps) and len(valid_indices()) >= min_valid_pairs:
-            break
-    for c in (lo_c, hi_c):
-        procs[c].stdin.write("quit\n")
-        procs[c].stdin.flush()
-        procs[c].wait(timeout=120)
+            try:
+                procs[c].stdin.write("quit\n")
+                procs[c].stdin.flush()
+                procs[c].wait(timeout=120)
+            except Exception:  # noqa: BLE001 — already dead / pipe closed
+                procs[c].kill()
+            shutil.rmtree(f"/dev/shm/replay_c{c}", ignore_errors=True)
 
     lo_top = max(tp(r) for r in runs[lo_c])
     hi_top = max(tp(r) for r in runs[hi_c])

@@ -123,6 +123,15 @@ def compile_value(value, columns: set[str], synthetic: dict[str, F.Column]) -> F
     m = _FSTRING.match(value)
     if m:
         template = m.group(1)
+        # fail fast on malformed placeholders: any brace left outside a
+        # matched {$word} would otherwise pass through as literal text and
+        # silently corrupt every emitted code (bare $col refs already fail
+        # fast on typos — the f-string syntax must too)
+        leftover = _PLACEHOLDER.sub("", template)
+        if "{" in leftover or "}" in leftover:
+            raise EventConfigError(
+                f"malformed placeholder in f-string template {value!r} — "
+                f"only {{$column_name}} is allowed")
         parts: list[F.Column] = []
         pos = 0
         for ph in _PLACEHOLDER.finditer(template):

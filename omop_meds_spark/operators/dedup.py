@@ -27,6 +27,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import ALNUM_TOKEN_RX, fingerprint, md5_long
 
+#: degenerate-LSH-bucket cap: a band bucket larger than this is a
+#: pathological all-identical cluster. Shared by the Spark operators AND
+#: the DuckDB oracles (oracles.py interpolates this constant) so the cap
+#: can never silently drift between engine and parity check.
+DEFAULT_MAX_BUCKET = 1000
+
 DEFAULT_K = 8  # minhashes
 DEFAULT_BANDS = 4  # LSH bands (k/b rows per band)
 SHINGLE_N = 3
@@ -103,7 +109,7 @@ def minhash_lsh_pairs(
     text_col: str,
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
-    max_bucket: int = 1000,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) whose signatures collide in at
     least one LSH band. ``max_bucket`` drops degenerate buckets (e.g. empty
@@ -255,7 +261,7 @@ def jaccard_pairs_lsh(
     threshold: float = 0.5,
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
-    max_bucket: int = 1000,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Corpus-wide exact-Jaccard near-dup pairs, candidate-generated by the
     banded MinHash LSH join (the scale-safe composition: LSH recall gate →

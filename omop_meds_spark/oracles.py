@@ -10,6 +10,8 @@ floor-quantized embeddings, identical aliases.
 
 from __future__ import annotations
 
+from .operators.dedup import DEFAULT_MAX_BUCKET as _MAX_BUCKET
+
 
 def _md5l(e: str) -> str:
     """60-bit int hash — twin of functions.text.md5_long."""
@@ -457,13 +459,13 @@ sig AS (
 banded_all AS (
 {_BANDS}
 ),
--- degenerate-bucket cap: mirrors the Spark side's max_bucket=1000
--- (operators/dedup.py:136-141) so parity holds even when a band bucket
+-- degenerate-bucket cap: interpolated from dedup.DEFAULT_MAX_BUCKET so
+-- parity can never drift from the Spark side, even when a band bucket
 -- exceeds the cap at larger SF
 banded AS (
   SELECT b.* FROM banded_all b
   JOIN (SELECT band, bh FROM banded_all GROUP BY band, bh
-        HAVING COUNT(*) <= 1000) ok
+        HAVING COUNT(*) <= {_MAX_BUCKET}) ok
     ON b.band = ok.band AND b.bh = ok.bh
 )
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -500,7 +502,7 @@ banded_all AS (
 banded AS (
   SELECT b.* FROM banded_all b
   JOIN (SELECT band, bh FROM banded_all GROUP BY band, bh
-        HAVING COUNT(*) <= 1000) ok
+        HAVING COUNT(*) <= {_MAX_BUCKET}) ok
     ON b.band = ok.band AND b.bh = ok.bh
 ),
 cand AS (

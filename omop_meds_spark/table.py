@@ -66,11 +66,13 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import re
 import tempfile
 import time
+import warnings
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -205,30 +207,50 @@ class SnapshotTable:
         return state
 
     def latest(self) -> dict | None:
-        return self._load_state()
+        """Current manifest state. Returns a COPY (files map included) —
+        the loader caches the materialized state in-process, and a caller
+        mutating the returned dict must not poison the cache that every
+        subsequent read and the next commit build on."""
+        return self._copy_state(self._load_state())
+
+    @staticmethod
+    def _copy_state(m: dict | None) -> dict | None:
+        if m is None:
+            return None
+        out = dict(m)
+        out["files"] = {b: list(fs) for b, fs in m["files"].items()}
+        out["offsets"] = dict(m.get("offsets", {}))
+        out["committed_extra"] = list(m.get("committed_extra", []))
+        return out
 
     @property
     def version(self) -> int:
-        m = self.latest()
+        m = self._load_state()
         return -1 if m is None else m["version"]
 
     def is_committed(self, batch_id: int) -> bool:
-        """O(1) exactly-once check against the bounded representation."""
-        m = self.latest()
+        """O(log n) exactly-once check against the bounded representation
+        (binary search on the sorted exception list — no per-call set
+        rebuild on the hot path)."""
+        m = self._load_state()
         if m is None:
             return False
-        return batch_id <= m["committed_hwm"] or batch_id in set(m["committed_extra"])
+        if batch_id <= m["committed_hwm"]:
+            return True
+        extra = m["committed_extra"]
+        i = bisect.bisect_left(extra, batch_id)
+        return i < len(extra) and extra[i] == batch_id
 
     def committed_batches(self) -> set[int]:
         """Materialized applied-batch set — O(high-watermark); for status /
         tests. Hot paths use ``is_committed``."""
-        m = self.latest()
+        m = self._load_state()
         if m is None:
             return set()
         return set(range(m["committed_hwm"] + 1)) | set(m["committed_extra"])
 
     def watermark(self) -> int:
-        m = self.latest()
+        m = self._load_state()
         return -1 if m is None else m.get("watermark_seq", -1)
 
     def offsets(self) -> dict[int, int]:
@@ -236,11 +258,11 @@ class SnapshotTable:
         seq_no. The resume contract of the north rule: a reader that tails
         the WAL per key-partition restarts each partition from its own
         offset, not a single global watermark."""
-        m = self.latest()
+        m = self._load_state()
         return {} if m is None else {int(b): s for b, s in m.get("offsets", {}).items()}
 
     def manifest_at(self, version: int) -> dict | None:
-        return self._load_state(version)
+        return self._copy_state(self._load_state(version))
 
     # ------------------------------------------------- history accessors
     def batch_lineage(self, batch_id: int) -> dict | None:
@@ -419,7 +441,14 @@ class SnapshotTable:
             raise ValueError(f"key_bucket: missing key columns {missing}")
         df = spark.createDataFrame([tuple(key[c] for c in self.key_cols)],
                                    schema=self.key_cols)
-        m = self.latest()
+        m = self._load_state()
+        if (m is None or not m.get("schema")) and any(
+                isinstance(key[c], int) for c in self.key_cols):
+            warnings.warn(
+                "key_bucket: table has no recorded schema and the key has "
+                "integer components — type inference (bigint) may hash into "
+                "the wrong bucket if the stored key column is narrower",
+                stacklevel=2)
         if m is not None and m.get("schema"):
             from pyspark.sql.types import StructType
 
@@ -504,6 +533,12 @@ class SnapshotTable:
         empty), or None if ``batch_id`` was already committed."""
         if self.is_committed(batch_id):
             return None
+        # always record the commit's schema: key_bucket/lookup need the key
+        # column TYPES to hash bit-exactly (xxhash64(int32) != xxhash64(
+        # bigint)) — without it a point lookup on an int-keyed table would
+        # silently probe the wrong bucket
+        if schema_json is None:
+            schema_json = delta.drop(BUCKET_COL).schema.json()
         if BUCKET_COL not in delta.columns:
             delta = delta.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets))
         # partition count: enough for parallelism, no more — partitionBy
@@ -575,7 +610,7 @@ class SnapshotTable:
     def hot_buckets(self, threshold: int) -> list[int]:
         """Buckets whose delta-generation count (== file count) has reached
         ``threshold`` — the compaction work list. O(manifest), no data read."""
-        m = self.latest()
+        m = self._load_state()
         if m is None:
             return []
         return sorted(int(b) for b, fs in m["files"].items() if len(fs) >= threshold)
@@ -592,7 +627,7 @@ class SnapshotTable:
         alone in seconds rather than forcing a full-table rewrite.
         ``key_reduce(df) -> df`` defaults to the engine's LWW kernel.
         No-op on an empty table or empty bucket list."""
-        prev = self.latest()
+        prev = self._load_state()
         if prev is None:
             return False
         target = sorted(int(b) for b in prev["files"]) if buckets is None else sorted(buckets)
@@ -627,7 +662,7 @@ class SnapshotTable:
         """Force a checkpoint manifest at the current version (vacuum uses
         this to keep the oldest retained version materializable). Returns
         the checkpointed version, or None on an empty log."""
-        state = self.latest()
+        state = self._load_state()
         if state is None:
             return None
         entries = self._log_entries()
@@ -663,8 +698,20 @@ class SnapshotTable:
         oldest_v, oldest_kind, oldest_path = kept[0]
         state = self._load_state(version=oldest_v)
         if oldest_kind != "ckpt":
-            self._write_manifest({**state, "kind": "ckpt"}, oldest_v, "ckpt",
-                                 allow_existing_delta=True)
+            # the promoted checkpoint must keep the delta's own change-feed
+            # fields (files_add/files_replace/commit + lineage/metrics) —
+            # a ckpt built from materialized state alone would make
+            # read_changes silently treat this commit as a compaction and
+            # DROP its rows for any consumer whose cursor predates it
+            own = json.loads(oldest_path.read_text())
+            self._write_manifest(
+                {**state, "kind": "ckpt",
+                 "files_add": own.get("files_add", {}),
+                 "files_replace": own.get("files_replace", {}),
+                 "commit": own.get("commit"),
+                 "lineage": own.get("lineage", {}),
+                 "metrics": own.get("metrics", {})},
+                oldest_v, "ckpt", allow_existing_delta=True)
             oldest_path.unlink()
         # files referenced by ANY kept version (incremental replay forward)
         referenced: set[str] = set()
@@ -711,7 +758,7 @@ class SnapshotTable:
         """Publish one commit: write an O(batch) delta manifest — or, every
         ``checkpoint_every``-th version, the full checkpoint — and advance
         the in-process state cache."""
-        prev = self.latest() or _empty_state()
+        prev = self._load_state() or _empty_state()
         version = prev["version"] + 1
         lin_key = str(batch_id) if add_committed else f"compact_v{version}"
         delta = {
@@ -729,6 +776,18 @@ class SnapshotTable:
             "committed_at": time.time(),
         }
         state = _apply_delta(prev, delta)
+        if len(state["committed_extra"]) > 4096:
+            # the exception set is bounded by commit OUT-OF-ORDERNESS; a
+            # permanent hole (a batch id skipped forever) pins the
+            # high-watermark and regrows O(commits) manifests — surface it
+            # instead of silently re-deriving the problem the delta log
+            # was built to eliminate
+            warnings.warn(
+                f"snapshot log {self.root}: committed_extra has "
+                f"{len(state['committed_extra'])} entries — batch id "
+                f"{state['committed_hwm'] + 1} appears permanently "
+                f"uncommitted, pinning the watermark; commit or renumber "
+                f"past the hole", stacklevel=3)
         if version % self.checkpoint_every == 0:
             # checkpoint carries the full state PLUS this commit's own
             # lineage/metrics and file delta (so history scans and the
@@ -744,7 +803,7 @@ class SnapshotTable:
         self._cache = (version, state)
 
     def max_files_per_bucket(self) -> int:
-        m = self.latest()
+        m = self._load_state()
         if m is None:
             return 0
         return max((len(fs) for fs in m["files"].values()), default=0)

@@ -166,3 +166,37 @@ def test_key_bucket_casts_to_table_schema(spark, tmpdir_path):
         assert b == expected
         assert [r["seq_no"] for r in t.lookup(spark, {"uid": probe}).collect()] \
             == [probe * 10]
+
+
+def test_change_feed_survives_vacuum_checkpoint_promotion(spark, tmpdir_path):
+    """vacuum promotes the oldest kept version's delta to a checkpoint; the
+    promoted manifest must keep that commit's files_add — otherwise a
+    consumer whose cursor predates it silently loses the commit's rows
+    (the hole check passes because the version still exists)."""
+    t = SnapshotTable(tmpdir_path, ["repo", "path"], n_buckets=4)
+    for i in range(5):
+        _commit(t, spark, [("r1", f"p{i}", i + 1, "U")], i)
+    t.vacuum(keep_versions=2)  # keeps v3 (promoted to ckpt) + v4
+    kinds = {v: k for v, k, _ in t._log_entries()}
+    assert kinds[3] == "ckpt"
+    rows = t.read_changes(spark, since_version=2).collect()
+    assert {(r["path"], r["_commit_version"]) for r in rows} == {
+        ("p3", 3), ("p4", 4)
+    }
+
+
+def test_lookup_works_without_explicit_schema_json(spark, tmpdir_path):
+    """commit_delta_auto must auto-record the commit's schema: without it,
+    an int-keyed table's point lookups hash the Python literal as bigint
+    and probe the wrong bucket (~15/16 of keys silently missing)."""
+    t = SnapshotTable(tmpdir_path, ["uid"], n_buckets=16)
+    df = spark.createDataFrame([(i, i * 10, "U") for i in range(50)],
+                               "uid int, seq_no long, op string")
+    t.commit_delta_auto(df, 0)  # schema_json defaulted — must auto-record
+    assert t._load_state().get("schema")
+    hits = sum(
+        1 for probe in range(50)
+        if [r["seq_no"] for r in t.lookup(spark, {"uid": probe}).collect()]
+        == [probe * 10]
+    )
+    assert hits == 50

@@ -127,3 +127,20 @@ def test_reference_event_config_parses_and_compiles(spark):
     assert out["code"] == "LOINC//Heart rate"
     assert out["numeric_value"] == 61.0
     assert out["unit"] == "8867" and out["table_name"] == "measurement"
+
+
+def test_malformed_fstring_placeholder_fails_fast(spark, tmpdir_path):
+    """A brace that is not part of a {$word} placeholder must raise at
+    compile — not pass through as literal text into every emitted code
+    (bare $col typos already fail fast; the f-string syntax must too)."""
+    cfg = load_event_config(_write(
+        tmpdir_path,
+        'subject_id_col: person_id\n'
+        'person:\n'
+        '  e:\n'
+        '    code: \'f"GENDER//{$my-col}"\'\n'
+        '    time: null\n',
+    ))
+    person = spark.createDataFrame([(1, "F")], "person_id long, gender string")
+    with pytest.raises(EventConfigError, match="malformed placeholder"):
+        events_from_config(person, cfg, "person")

@@ -88,3 +88,22 @@ def test_manifest_is_atomic_and_versioned(spark, tmpdir_path):
     logs = sorted(Path(tmpdir_path, "_log").glob("v*.json"))
     assert [json.loads(p.read_text())["version"] for p in logs] == [0, 1, 2]
     assert t.committed_batches() == {0, 1, 2}
+
+
+def test_latest_returns_isolated_copy(spark, tmpdir_path):
+    """latest()/manifest_at() must not hand out the in-process cache by
+    reference — a caller mutating the returned manifest (e.g. popping a
+    bucket while post-processing) must not poison subsequent reads or the
+    next commit."""
+    t = SnapshotTable(tmpdir_path, ["repo", "path"], n_buckets=4)
+    df = _df(spark, [(f"r{i}", f"p{i}", i, "U") for i in range(10)])
+    touched = sorted({r[BUCKET_COL] for r in df.select(BUCKET_COL).collect()})
+    t.commit_merged(df, 0, touched, 9)
+    m = t.latest()
+    m["files"].clear()
+    m["committed_extra"].append(99)
+    m["offsets"]["0"] = -5
+    m2 = t.latest()
+    assert m2["files"] and m2["committed_extra"] != [99]
+    assert t.read_live(spark).count() == 10
+    assert not t.is_committed(99)
