@@ -431,17 +431,26 @@ _SHINGLES = f"""
               ELSE [array_to_string(toks, ' ')] END AS shingles
   FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 """
+# universal-hash family — same constants as dedup.MH_A/MH_B/MH_R over one
+# md5 base hash per shingle (8x fewer md5s; the per-j XOR re-permutes the
+# argmin, see dedup.py). Parity is exact: both engines run identical
+# integer arithmetic, overflow-free in 62 bits.
+from .operators.dedup import MH_A as _MH_A  # noqa: E402
+from .operators.dedup import MH_B as _MH_B  # noqa: E402
+from .operators.dedup import MH_R as _MH_R  # noqa: E402
+
+_MH_BASE = "list_transform(shingles, s -> " + _md5l("s") + ")"
 _MH = ",\n       ".join(
-    "list_min(list_transform(shingles, s -> "
-    + _md5l(f"'{j}|' || s")
-    + f")) AS mh_{j}"
+    f"list_min(list_transform(hs, h -> {_MH_A[j]} * "
+    f"(xor(h, {_MH_R[j]}) % 2147483647) + {_MH_B[j]})) AS mh_{j}"
     for j in range(8)
 )
 ORACLES["minhash_signatures"] = f"""
-WITH sh AS ({_SHINGLES})
+WITH sh AS ({_SHINGLES}),
+hb AS (SELECT doc_id, {_MH_BASE} AS hs FROM sh)
 SELECT doc_id,
        {_MH}
-FROM sh
+FROM hb
 """
 
 _BANDS = "\n    UNION ALL\n".join(
@@ -452,10 +461,11 @@ _BANDS = "\n    UNION ALL\n".join(
 )
 ORACLES["minhash_lsh_pairs"] = f"""
 WITH sh AS ({_SHINGLES}),
+hb AS (SELECT doc_id, {_MH_BASE} AS hs FROM sh),
 sig AS (
   SELECT doc_id,
          {_MH}
-  FROM sh),
+  FROM hb),
 banded_all AS (
 {_BANDS}
 ),
@@ -492,10 +502,11 @@ FROM h
 # as minhash_lsh_pairs) exact-verified by token-set Jaccard.
 ORACLES["jaccard_pairs"] = f"""
 WITH sh AS ({_SHINGLES}),
+hb AS (SELECT doc_id, {_MH_BASE} AS hs FROM sh),
 sig AS (
   SELECT doc_id,
          {_MH}
-  FROM sh),
+  FROM hb),
 banded_all AS (
 {_BANDS}
 ),
