@@ -169,21 +169,33 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
-    # cap pathological buckets before the quadratic self-join
-    counts = banded.groupBy("band", "bh").agg(F.count("*").alias("bucket_n"))
-    banded = banded.join(
-        F.broadcast(counts.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")),
-        ["band", "bh"],
-        "left_semi",
+    # Pair generation WITHOUT a self-join: group each band bucket into an
+    # id array (one shuffle on the bucket key), drop degenerate buckets by
+    # array size, then emit the i<j pairs with nested array transforms.
+    # The old self-join shape (and its counts+semi cap) made four
+    # non-identical subtrees, each recomputing the whole signature
+    # pipeline (explode + md5 + agg) — plan-asserted single-subtree now.
+    # Per-bucket pair arrays are bounded by max_bucket^2 (cap first).
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") <= max_bucket)
+        .filter(F.size("ids") >= 2)
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    pairs_col = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.filter(F.col("ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs_col).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return pairs
 
 
 # ------------------------------------------------------------------- simhash

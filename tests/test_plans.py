@@ -121,3 +121,14 @@ def test_point_lookup_pushes_key_predicate(spark, tmpdir_path):
     b = t.key_bucket(spark, {"repo": "r3", "path": "p3"})
     # single-generation bucket → fast path: no LWW exchange either
     assert len(m["files"][str(b)]) == 1 and _exchanges(plan) == 0
+
+
+def test_minhash_lsh_single_signature_subtree(spark):
+    """The LSH pair generation must be join-free: one signature pipeline
+    (shingle explode + md5 + agg), one bucket agg, nested-transform pair
+    expansion — NOT a self-join whose sides each recompute the signature
+    (the old shape ran the md5 pipeline 4x)."""
+    plan = _plan(spark, "minhash_lsh_pairs")
+    assert "Join" not in plan
+    assert plan.count("Generate") == 3  # shingles, bands, pairs — once each
+    assert _exchanges(plan) == 3  # sig agg, bucket agg, distinct
