@@ -72,6 +72,7 @@ import os
 import re
 import tempfile
 import time
+import uuid
 import warnings
 from pathlib import Path
 
@@ -81,6 +82,19 @@ from pyspark.sql import functions as F
 BUCKET_COL = "__bucket"
 
 _LOG_RE = re.compile(r"^v(\d{8})-(ckpt|delta)\.json$")
+
+
+def _pid_alive(pid: int) -> bool:
+    """Best-effort liveness probe for the writer lease (same host only)."""
+    try:
+        os.kill(int(pid), 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    except (ValueError, OverflowError, TypeError):
+        return False
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int) -> F.Column:
@@ -161,6 +175,69 @@ class SnapshotTable:
         (self.root / "_log").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(parents=True, exist_ok=True)
         self._cache: tuple[int, dict] | None = None  # (version, state)
+        self._writer_token = uuid.uuid4().hex  # per-instance writer identity
+
+    # --------------------------------------------------------- writer lock
+    @property
+    def _lock_path(self) -> Path:
+        return self.root / "_log" / "WRITER"
+
+    def _acquire_writer(self) -> None:
+        """Turn the documented single-writer ASSUMPTION into a checked
+        guarantee: an ``O_CREAT|O_EXCL`` lease file pins the live writer
+        process. A second LIVE process attempting to publish or vacuum gets
+        a clear error instead of silently racing (vacuum's unreferenced-file
+        sweep would otherwise delete a concurrent committer's staged files).
+
+        Takeover rules (so crash-resume — a core contract — still works
+        without manual cleanup): a lease held by a DEAD pid, or by this
+        same pid (another in-process instance, e.g. test fixtures or a
+        reader-turned-writer), is stolen silently. Cross-host writers are
+        out of scope for a filesystem lease — at cluster scale this check
+        moves to the catalog/lock service, same as Iceberg's commit lock.
+        ``release_writer()`` drops the lease explicitly."""
+        for _ in range(8):  # unlink→create race with another stealer: retry
+            try:
+                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"pid": os.getpid(), "token": self._writer_token,
+                               "acquired_at": time.time()}, f)
+                return
+            except FileExistsError:
+                try:
+                    cur = json.loads(self._lock_path.read_text())
+                except (OSError, ValueError):
+                    cur = None  # torn write / vanished — treat as stale
+                if cur is not None:
+                    if cur.get("token") == self._writer_token:
+                        return  # already ours
+                    pid = cur.get("pid")
+                    if pid is not None and pid != os.getpid() and _pid_alive(pid):
+                        raise RuntimeError(
+                            f"snapshot log {self.root} is locked by live writer "
+                            f"pid {pid} (since {cur.get('acquired_at')}); a second "
+                            f"concurrent writer would corrupt vacuum/commit — "
+                            f"stop it or release_writer() from the owner")
+                # stale lease (dead pid / same pid / unreadable): take over
+                try:
+                    self._lock_path.unlink()
+                except FileNotFoundError:
+                    pass
+        raise RuntimeError(
+            f"snapshot log {self.root}: could not acquire writer lease "
+            f"(persistent create/steal race)")
+
+    def release_writer(self) -> None:
+        """Drop this instance's writer lease (no-op if not held)."""
+        try:
+            cur = json.loads(self._lock_path.read_text())
+        except (OSError, ValueError):
+            return
+        if cur.get("token") == self._writer_token:
+            try:
+                self._lock_path.unlink()
+            except FileNotFoundError:
+                pass
 
     # ---------------------------------------------------------------- log
     def _log_entries(self) -> list[tuple[int, str, Path]]:
@@ -659,17 +736,32 @@ class SnapshotTable:
         return True
 
     def checkpoint(self) -> int | None:
-        """Force a checkpoint manifest at the current version (vacuum uses
-        this to keep the oldest retained version materializable). Returns
-        the checkpointed version, or None on an empty log."""
+        """Promote the current version's delta manifest to a checkpoint
+        (full materialized state), so readers replay zero deltas from here
+        and a later ``vacuum`` can retain from this version cheaply.
+        Returns the checkpointed version, or None on an empty log.
+
+        The promoted checkpoint CARRIES the companion delta's change-feed
+        fields (``files_add``/``files_replace``/``commit``/lineage/metrics),
+        exactly like vacuum's own promotion: a bare ckpt would make any
+        delta-replay over this version (vacuum's referenced-set walk, the
+        change feed) silently skip the files this commit added — vacuum
+        would then unlink LIVE data."""
         state = self._load_state()
         if state is None:
             return None
         entries = self._log_entries()
         if entries[-1][1] == "ckpt":
             return state["version"]  # already checkpointed
-        self._write_manifest({**state, "kind": "ckpt"}, state["version"], "ckpt",
-                             allow_existing_delta=True)
+        own = json.loads(entries[-1][2].read_text())
+        self._write_manifest(
+            {**state, "kind": "ckpt",
+             "files_add": own.get("files_add", {}),
+             "files_replace": own.get("files_replace", {}),
+             "commit": own.get("commit"),
+             "lineage": own.get("lineage", {}),
+             "metrics": own.get("metrics", {})},
+            state["version"], "ckpt", allow_existing_delta=True)
         return state["version"]
 
     def vacuum(self, keep_versions: int = 2) -> dict:
@@ -684,11 +776,11 @@ class SnapshotTable:
 
         SINGLE-WRITER ONLY: vacuum unlinks every data file not referenced
         by a kept manifest, which would include a CONCURRENT writer's
-        staged-but-unpublished files. Run it from the one writer process
-        (the same assumption the whole commit protocol makes), never
-        alongside an in-flight commit."""
+        staged-but-unpublished files. The writer lease (``_acquire_writer``)
+        enforces this against any other LIVE process before the sweep."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
+        self._acquire_writer()
         entries = self._log_entries()
         if len(entries) <= keep_versions:
             return {"deleted_files": 0, "dropped_manifests": 0}
@@ -713,12 +805,18 @@ class SnapshotTable:
                  "metrics": own.get("metrics", {})},
                 oldest_v, "ckpt", allow_existing_delta=True)
             oldest_path.unlink()
-        # files referenced by ANY kept version (incremental replay forward)
+        # files referenced by ANY kept version (incremental replay forward).
+        # A kept CHECKPOINT is a full materialized state — RESET from its
+        # own files map rather than delta-applying it (a ckpt's
+        # files_add covers only its companion commit; treating it as a
+        # delta would drop every file the ckpt carries but the running
+        # state doesn't, and vacuum would unlink live data)
         referenced: set[str] = set()
         for fs in state["files"].values():
             referenced.update(fs)
-        for _, _, p in kept[1:]:
-            state = _apply_delta(state, json.loads(p.read_text()))
+        for _, kind, p in kept[1:]:
+            d = json.loads(p.read_text())
+            state = d if kind == "ckpt" else _apply_delta(state, d)
             for fs in state["files"].values():
                 referenced.update(fs)
         deleted = 0
@@ -727,8 +825,15 @@ class SnapshotTable:
             if rel not in referenced:
                 f.unlink()
                 deleted += 1
-        for _, _, p in dropped:
-            p.unlink()
+        # unlink dropped manifests from a RAW directory listing: a version
+        # promoted to ckpt keeps its companion delta on disk (_log_entries
+        # dedups to one path), and a stale below-floor delta would resurface
+        # in _log_entries and break manifest_at / read_changes hole checks
+        drop_versions = {v for v, _, _ in dropped}
+        for p in (self.root / "_log").iterdir():
+            mm = _LOG_RE.match(p.name)
+            if mm and int(mm.group(1)) in drop_versions:
+                p.unlink()
         # prune now-empty generation directories (cosmetic, keeps listings small)
         for d in sorted((self.root / "data").rglob("*"), reverse=True):
             if d.is_dir() and not any(d.iterdir()):
@@ -758,6 +863,7 @@ class SnapshotTable:
         """Publish one commit: write an O(batch) delta manifest — or, every
         ``checkpoint_every``-th version, the full checkpoint — and advance
         the in-process state cache."""
+        self._acquire_writer()
         prev = self._load_state() or _empty_state()
         version = prev["version"] + 1
         lin_key = str(batch_id) if add_committed else f"compact_v{version}"

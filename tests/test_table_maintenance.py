@@ -235,3 +235,108 @@ def test_read_live_fast_path_after_compaction(spark, tmpdir_path):
     assert _live_rows(spark, t) == before
     fast_plan = after_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in fast_plan  # single-generation: zero exchanges
+
+
+# --------------------------------------------------------------------------
+# round-3 ADVICE regressions: vacuum vs checkpoint() interactions + the
+# writer lease that turns the single-writer assumption into a checked error
+# --------------------------------------------------------------------------
+
+def test_vacuum_after_manual_checkpoint_preserves_live_data(spark, tmpdir_path):
+    """ADVICE r3 (high): a checkpoint()-promoted manifest used to carry no
+    files_add, so vacuum's forward replay dropped that commit's files from
+    the referenced set and unlinked LIVE parquet. Exact repro from the
+    advice: commits v0-v2, checkpoint(), commits v3-v4,
+    vacuum(keep_versions=4) -> read_live must still materialize."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    for i in range(3):
+        d = _delta(spark, [(f"r{i}", "p", i, "U")], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    assert t.checkpoint() == 2
+    assert t.checkpoint() == 2  # idempotent: already checkpointed
+    for i in range(3, 5):
+        d = _delta(spark, [(f"r{i}", "p", i, "U")], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    fp = _live_rows(spark, t)
+    t.vacuum(keep_versions=4)
+    assert _live_rows(spark, t) == fp  # was: PATH_NOT_FOUND on v2's file
+    # a cold process replays to the identical state
+    t2 = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    assert _live_rows(spark, t2) == fp
+
+
+def test_vacuum_unlinks_both_kinds_of_dual_version(spark, tmpdir_path):
+    """ADVICE r3 (medium): dropping a version present as BOTH ckpt and delta
+    (checkpoint() keeps the companion delta on disk) must unlink both files;
+    a stale below-floor delta used to resurface in the log and turn
+    manifest_at/read into RuntimeError instead of a clean None, defeating
+    read_changes' vacuum-hole detection."""
+    import pytest
+
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    for i in range(3):
+        d = _delta(spark, [(f"r{i}", "p", i, "U")], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    t.checkpoint()  # v2 now dual-kind (ckpt + companion delta)
+    for i in range(3, 7):
+        d = _delta(spark, [(f"r{i}", "p", i, "U")], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    fp = _live_rows(spark, t)
+    t.vacuum(keep_versions=2)  # floor v5: drops v0..v4 incl. dual v2
+    log = Path(tmpdir_path, "_log")
+    assert not list(log.glob("v00000002-*.json"))  # BOTH kinds gone
+    # below-floor versions are cleanly absent, not dangling
+    assert t.manifest_at(2) is None
+    assert t.read(spark, version=2) is None
+    # hole detection still fires for a range that spans the vacuumed gap
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read_changes(spark, since_version=1, to_version=4)
+    assert _live_rows(spark, t) == fp
+
+
+def test_writer_lease_blocks_live_foreign_writer(spark, tmpdir_path):
+    """A lease held by a LIVE foreign pid blocks publish and vacuum with a
+    clear error (instead of a silent race that corrupts the sweep)."""
+    import json as _json
+
+    import pytest
+
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    d = _delta(spark, [("a", "p", 0, "U")], n_buckets=2)
+    t.commit_delta(d, 0, _touched(d), 0)
+    lock = Path(tmpdir_path, "_log", "WRITER")
+    lock.write_text(_json.dumps({"pid": 1, "token": "foreign", "acquired_at": 0}))
+    with pytest.raises(RuntimeError, match="locked by live writer"):
+        t.vacuum(keep_versions=1)
+    d2 = _delta(spark, [("b", "p", 1, "U")], n_buckets=2)
+    with pytest.raises(RuntimeError, match="locked by live writer"):
+        t.commit_delta(d2, 1, _touched(d2), 1)
+    lock.unlink()  # owner releases -> this process can write again
+    t.commit_delta(d2, 1, _touched(d2), 1)
+    assert t.version == 1  # v0, v1
+
+
+def test_writer_lease_steals_from_dead_pid_and_same_pid(spark, tmpdir_path):
+    """Crash-resume contract: a lease left by a DEAD process is taken over
+    silently, and two instances in the SAME process coexist (test fixtures,
+    reader-turned-writer) — no manual cleanup step."""
+    import json as _json
+    import subprocess
+
+    proc = subprocess.run(["sh", "-c", "echo $$"], capture_output=True, text=True)
+    dead_pid = int(proc.stdout.strip())  # shell already exited
+
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    lock = Path(tmpdir_path, "_log", "WRITER")
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    lock.write_text(_json.dumps({"pid": dead_pid, "token": "stale", "acquired_at": 0}))
+    d = _delta(spark, [("a", "p", 0, "U")], n_buckets=2)
+    t.commit_delta(d, 0, _touched(d), 0)  # steals the stale lease
+    assert t.version == 0
+
+    t2 = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)  # same pid, new token
+    d2 = _delta(spark, [("b", "p", 1, "U")], n_buckets=2)
+    t2.commit_delta(d2, 1, _touched(d2), 1)  # same-pid takeover allowed
+    assert t2.version == 1
+    t2.release_writer()
+    assert not lock.exists()
