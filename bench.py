@@ -338,11 +338,11 @@ def run_controlled(
     vidx = valid_indices()
     valid = [pairs[i] for i in vidx]
     floor_ratio = round(min((lo_floor / hi_floor) / (hi_c / lo_c), 1.0), 3)
-    # a median of <3 pairs is no median — with sparse valid pairs the
-    # floor ratio (cleanest observed moment on each side, both sides
-    # treated identically) is the less luck-sensitive estimator
-    headline = (round(statistics.median(valid), 3) if len(valid) >= 3
-                else floor_ratio)
+    # HEADLINE = floor ratio (see run_scaling for the bias argument: noise
+    # is additive-positive, floors converge from above, and same-time pair
+    # medians are biased LOW because relative noise is ~4x larger on the
+    # short hi-core wall). Pair medians recorded alongside as the check.
+    headline = floor_ratio
     out = {
         "protocol": "warm-JVM interleaved single-batch trials "
                     f"(batch={results[hi_c][0]['n_events']} events, same batch both sides); "
@@ -359,6 +359,8 @@ def run_controlled(
         "scaling_efficiency": headline,
         "scaling_efficiency_best": max(pairs),
         "scaling_efficiency_median_raw": statistics.median(pairs),
+        "scaling_efficiency_pair_median": (
+            round(statistics.median(valid), 3) if valid else None),
     }
     for c in (lo_c, hi_c):
         vals = [r["events_per_s"] for r in results[c]]
@@ -476,11 +478,15 @@ def run_scaling(
     vidx = valid_indices()
     valid = [pairs[i] for i in vidx]
     floor_ratio = round(min((hi_top / lo_top) / (hi_c / lo_c), 1.0), 3)
-    # a median of <3 pairs is no median — with sparse valid pairs the
-    # floor ratio (cleanest observed moment on each side, both sides
-    # treated identically) is the less luck-sensitive estimator
-    headline = (round(statistics.median(valid), 3) if len(valid) >= 3
-                else floor_ratio)
+    # HEADLINE = floor ratio. Host noise is strictly additive-positive, so
+    # each side's best floor converges on its true cost from above and the
+    # ratio treats both sides identically. Same-time pairing (the medians
+    # recorded alongside) is robust to phases but BIASED LOW for
+    # efficiency: the hi-core wall is ~4x shorter, so the same absolute
+    # noise inflates it ~4x more in relative terms — r3 measured 0.788
+    # pair-median vs 0.804 floor ratio on identical data. The floor ratio
+    # is the estimator; the pair medians are the robustness check.
+    headline = floor_ratio
     out = {}
     for cores in SCALE_PAIR:
         vals = [r["steady_events_per_s"] for r in runs[cores]]
@@ -511,6 +517,8 @@ def run_scaling(
     }
     out["scaling_efficiency"] = headline
     out["scaling_efficiency_median"] = statistics.median(pairs)
+    out["scaling_efficiency_pair_median"] = (
+        round(statistics.median(valid), 3) if valid else None)
     return out
 
 
@@ -576,9 +584,9 @@ def main() -> None:
             full = None
             result["cdc_replay"]["full_replay_error"] = repr(e)
         # headline scaling number: the phase-aligned controlled protocol's
-        # stall-filtered MEDIAN (full-replay pairs span multiple host
-        # phases and are recorded alongside); full-replay best pair is the
-        # fallback if the controlled protocol failed
+        # floor ratio (full-replay's own floor ratio is recorded alongside
+        # as scaling_efficiency_full_replay); full replay is the fallback
+        # if the controlled protocol failed
         if controlled is not None:
             result["scaling_efficiency"] = controlled["scaling_efficiency"]
             result["scaling_efficiency_best"] = controlled["scaling_efficiency_best"]
@@ -586,21 +594,41 @@ def main() -> None:
             result["scaling_efficiency"] = full["scaling_efficiency"]
         if full is not None:
             result["scaling_efficiency_full_replay"] = full["scaling_efficiency"]
-        # the stdout line must survive tail-truncating captures (round 2 lost
-        # its per-query block that way): keep it COMPACT — strip the raw
-        # per-trial arrays into BENCH_LOCAL.json and print the summary last
+        # the stdout line must survive tail-truncating captures (~4 KB kept
+        # from the END — r2 lost its per-query block, r3 the queries-map
+        # head): strip raw trial arrays and long protocol prose into
+        # BENCH_LOCAL.json, and ORDER the dict so the headline scalars are
+        # the LAST keys on the line (a clipped capture keeps the tail)
         detail = json.loads(json.dumps(result))  # deep copy before slimming
         cr = result.get("cdc_replay", {})
         if "controlled" in cr:
             for k in ("trials", "pair_efficiencies", "valid_pair_indices"):
                 cr["controlled"].pop(k, None)
+            cr["controlled"]["protocol"] = \
+                "warm-JVM interleaved 3M-event trials; headline=floor " \
+                "ratio (full text: BENCH_LOCAL.json)"
         if "full_replay" in cr:
             cr["full_replay"].pop("valid_pair_indices", None)
             for blk in cr["full_replay"].values():
                 if isinstance(blk, dict):
                     blk.pop("runs", None)
+            cr["full_replay"]["protocol"] = \
+                "warm-JVM full-WAL replays, per-batch floor steady " \
+                "throughput; headline=floor ratio (full text: " \
+                "BENCH_LOCAL.json)"
+        # headline scalars last on the line
+        for k in ("cdc_events_per_sec", "scaling_efficiency",
+                  "scaling_efficiency_best", "scaling_efficiency_full_replay",
+                  "metric", "value", "unit"):
+            if k in result:
+                result[k] = result.pop(k)
     (REPO / "BENCH_LOCAL.json").write_text(json.dumps(detail or result, indent=1))
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) > 3500:  # belt-and-braces: never exceed a 4 KB tail capture
+        slim = json.loads(line)
+        slim.pop("cdc_replay", None)
+        line = json.dumps(slim)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -181,3 +181,24 @@ def test_schema_evolution_recorded(spark, tmpdir_path):
     batch_keys = sorted(int(k) for k in lin if k.isdigit())
     versions = [lin[str(b)]["schema_version"] for b in batch_keys]
     assert versions == sorted(versions)
+
+
+def test_apply_batch_restores_adaptive_conf(spark, tmpdir_path):
+    """apply_batch pins AQE off for the fixed-shape micro-batch plan (its
+    stage barriers are pure serial driver cost there) but must hand the
+    session back exactly as it found it — ad-hoc analytics on the same
+    session rely on AQE."""
+    from pathlib import Path
+
+    wal = str(Path(tmpdir_path) / "wal_aqe")
+    generate_wal(wal, n_events=400, n_repos=4, paths_per_repo=6, n_files=2, seed=7)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    r = CDCRunner(spark, wal, str(Path(tmpdir_path) / "t_aqe"), n_buckets=4,
+                  files_per_batch=2)
+    r.run()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # opt-out leaves the session conf alone during the batch as well
+    r2 = CDCRunner(spark, wal, str(Path(tmpdir_path) / "t_aqe2"), n_buckets=4,
+                   files_per_batch=2, adaptive=True)
+    r2.run()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
