@@ -77,6 +77,27 @@ def packaged_event_config(resource: str) -> EventConfig:
 
 
 def load_event_config_text(text: str, name: str = "<config>") -> EventConfig:
+    """Parse config YAML (the reference's event_configs.yaml syntax).
+
+    >>> cfg = load_event_config_text('''
+    ... subject_id_col: person_id
+    ... visit:
+    ...   start:
+    ...     code: VISIT//START
+    ...     time: $visit_start
+    ... ''')
+    >>> cfg.subject_id_col
+    'person_id'
+    >>> cfg.table_names()
+    ['visit']
+    >>> cfg.tables["visit"]["start"]["code"]
+    'VISIT//START'
+    >>> load_event_config_text("subject_id_col: s\\nvisit: {bad: {code: X}}")
+    Traceback (most recent call last):
+        ...
+    omop_meds_spark.event_config.EventConfigError: <config>: event \
+visit.bad lacks required 'time' (use null for static)
+    """
     import yaml
 
     raw = yaml.safe_load(text)
@@ -107,7 +128,14 @@ def load_event_config_text(text: str, name: str = "<config>") -> EventConfig:
 
 def prune_tables(cfg: EventConfig, available: set[str] | list[str]) -> tuple[EventConfig, list[str]]:
     """Drop config tables that were not materialized; returns (pruned
-    config, removed table names) — reference __main__.py:63-74."""
+    config, removed table names) — reference __main__.py:63-74.
+
+    >>> cfg = EventConfig("s", {"a": {"e": {"code": "C", "time": None}},
+    ...                         "b": {"e": {"code": "C", "time": None}}})
+    >>> pruned, removed = prune_tables(cfg, {"a"})
+    >>> pruned.table_names(), removed
+    (['a'], ['b'])
+    """
     avail = set(available)
     removed = [t for t in cfg.tables if t not in avail]
     kept = {t: v for t, v in cfg.tables.items() if t in avail}

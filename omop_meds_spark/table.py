@@ -120,7 +120,19 @@ def _absorb(hwm: int, extra: set[int], batch_id: int) -> tuple[int, set[int]]:
     """Add a batch id to the (high-watermark, exception-set) representation,
     folding the exception set back into the watermark when it becomes
     contiguous — the set stays bounded by commit out-of-orderness, not by
-    commit count."""
+    commit count.
+
+    >>> _absorb(2, set(), 3)           # contiguous: watermark advances
+    (3, set())
+    >>> _absorb(2, set(), 5)           # gap: 5 parks in the exception set
+    (2, {5})
+    >>> _absorb(2, {5}, 4)             # still missing 3
+    (2, {4, 5})
+    >>> _absorb(2, {4, 5}, 3)          # 3 arrives: whole run folds in
+    (5, set())
+    >>> _absorb(5, set(), 1)           # replay below the watermark: no-op
+    (5, set())
+    """
     if batch_id <= hwm:
         return hwm, extra
     extra = set(extra)
@@ -134,7 +146,23 @@ def _absorb(hwm: int, extra: set[int], batch_id: int) -> tuple[int, set[int]]:
 def _apply_delta(state: dict, d: dict) -> dict:
     """Pure-functional replay of one delta manifest onto a materialized
     state (copies the files map — never mutates ``state``, which may be the
-    shared in-process cache)."""
+    shared in-process cache).
+
+    >>> s0 = _empty_state()
+    >>> s1 = _apply_delta(s0, {"version": 0, "batch_id": 7, "commit": 7,
+    ...                        "files_add": {"0": ["f0.parquet"]},
+    ...                        "watermark_seq": 10})
+    >>> s1["files"], s1["committed_hwm"], s1["watermark_seq"]
+    ({'0': ['f0.parquet']}, -1, 10)
+    >>> s1["committed_extra"]           # batch 7 parks until 0..6 commit
+    [7]
+    >>> s2 = _apply_delta(s1, {"version": 1, "batch_id": 8,
+    ...                        "files_replace": {"0": []}})
+    >>> s2["files"]                     # empty replace = bucket dropped
+    {}
+    >>> s0["files"]                     # inputs were never mutated
+    {}
+    """
     files = {b: list(fs) for b, fs in state["files"].items()}
     for b, fs in d.get("files_add", {}).items():
         files[b] = files.get(b, []) + list(fs)

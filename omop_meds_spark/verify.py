@@ -45,7 +45,20 @@ def state_fingerprint(df: DataFrame, cols: list[str] | None = None) -> tuple[int
 
 
 def pandas_fingerprint(pdf, cols: list[str] | None = None) -> tuple[int, int]:
-    """Identical fingerprint computed driver-side over a pandas frame."""
+    """Identical fingerprint computed driver-side over a pandas frame.
+
+    Order-insensitive (XOR) and partitioning-independent:
+
+    >>> import pandas as pd
+    >>> a = pd.DataFrame({"k": ["x", "y"], "v": [1.0, None]})
+    >>> b = pd.DataFrame({"k": ["y", "x"], "v": [None, 1.0]})  # reordered
+    >>> pandas_fingerprint(a) == pandas_fingerprint(b)
+    True
+    >>> pandas_fingerprint(a)[0]            # row count component
+    2
+    >>> pandas_fingerprint(a, ["k"]) == pandas_fingerprint(b)  # cols matter
+    False
+    """
     import pandas as pd
 
     cols = sorted(cols or list(pdf.columns))
