@@ -6,10 +6,11 @@ Default mode (what the driver runs per-round):
 1. times the headline query suite at ``$SPARK_GRAFT_SF_DIR`` (default
    ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32),
 2. runs the full CDC WAL replay (the engine's actual workload) at TWO
-   parallelism levels — local[8] and local[32] — in separate child
-   processes on the SAME deterministic WAL, and reports events/sec at both
-   plus the N→4N scaling efficiency (the sandbox stand-in for a 2-cluster-
-   size run, per BASELINE.json's north rule),
+   parallelism levels — ``SCALE_PAIR`` = local[1] and local[4], see the
+   comment at its definition — in separate child processes on the SAME
+   deterministic WAL, and reports events/sec at both plus the N→4N scaling
+   efficiency (the sandbox stand-in for a 2-cluster-size run, per
+   BASELINE.json's north rule),
 3. prints ONE JSON line with everything.
 
 Child mode (``--cdc-worker``) replays a WAL once at a given core count and
@@ -192,8 +193,9 @@ def cdc_trial_worker(wal: str, table_root: str, cores: int) -> None:
 
 def cdc_replay_worker(wal: str, table_root: str, cores: int) -> None:
     """Warm-JVM full-replay child: one throwaway replay warms the JVM,
-    then each 'go' line replays the ENTIRE WAL to a fresh table and
-    reports every batch wall plus the per-batch floor throughput.
+    then each 'step' line applies the NEXT batch of an in-progress
+    full-WAL replay (starting a fresh replay when the previous finished)
+    and reports that batch's wall time.
 
     Why a warmup replay (not just batch 0): whole-stage codegen + C2 JIT
     need ~4-5 batches to reach steady state — measured on this box, the
@@ -216,30 +218,27 @@ def cdc_replay_worker(wal: str, table_root: str, cores: int) -> None:
               files_per_batch=FILES_PER_BATCH).run()
     shutil.rmtree(f"{table_root}/warm", ignore_errors=True)
     print(json.dumps({"ready": True, "cores": cores}), flush=True)
+    runner, plan, pos = None, None, 0
     for line in sys.stdin:
-        if line.strip() != "go":
+        if line.strip() != "step":
             break
-        shutil.rmtree(f"{table_root}/trial", ignore_errors=True)
-        r = CDCRunner(spark, wal, f"{table_root}/trial", n_buckets=32,
-                      files_per_batch=FILES_PER_BATCH)
-        t0 = time.monotonic()
-        ms = r.run()
-        wall = time.monotonic() - t0
-        n_events = sum(m["n_events"] for m in ms)
-        steady = ms[1:] if len(ms) > 1 else ms
-        floor = min(steady, key=lambda m: m["wall_s"] / m["n_events"])
+        # 'step' = apply the NEXT batch of the in-progress full replay
+        # (fresh table + new replay when the previous one finished). The
+        # parent drives lo and hi workers in LOCKSTEP so the k-th batch of
+        # both replays runs inside the same host phase — see run_scaling.
+        if runner is None or pos >= len(plan):
+            shutil.rmtree(f"{table_root}/trial", ignore_errors=True)
+            runner = CDCRunner(spark, wal, f"{table_root}/trial",
+                               n_buckets=32, files_per_batch=FILES_PER_BATCH)
+            plan = runner.reader.plan_batches()
+            pos = 0
+        m = runner.apply_batch(plan[pos])
         print(json.dumps({
-            "cores": cores, "wall_s": round(wall, 3),
-            "n_events": n_events,
-            "events_per_s": round(n_events / wall, 1),
-            "steady_events_per_s": round(
-                sum(m["n_events"] for m in steady)
-                / sum(m["wall_s"] for m in steady), 1),
-            "batch_walls": [round(m["wall_s"], 2) for m in ms],
-            "steady_events_per_s_floor": round(
-                floor["n_events"] / floor["wall_s"], 1),
-            "n_batches": len(ms),
+            "cores": cores, "batch_index": pos, "n_batches": len(plan),
+            "wall_s": round(m["wall_s"], 3), "n_events": m["n_events"],
+            "events_per_s": round(m["events_per_s"], 1),
         }), flush=True)
+        pos += 1
     shutil.rmtree(f"{table_root}/trial", ignore_errors=True)  # tmpfs is RAM
     spark.stop()
 
@@ -347,8 +346,8 @@ def run_controlled(
         "protocol": "warm-JVM interleaved single-batch trials "
                     f"(batch={results[hi_c][0]['n_events']} events, same batch both sides); "
                     "adaptive sampling; valid pair = both members <= 1.25x side floor "
-                    "and efficiency <= 1.0; headline = median over valid pairs "
-                    "(fallback: capped floor ratio)",
+                    "and efficiency <= 1.0; headline = floor ratio (pair "
+                    "medians recorded as the robustness check)",
         "pair": {"N": lo_c, "4N": hi_c},
         "trials": results,
         "pair_efficiencies": pairs,
@@ -383,28 +382,43 @@ def _shm_wal(wal: Path) -> Path:
 
 def run_scaling(
     shm_wal: Path,
-    reps: int = 3,          # minimum attempts (kept for CLI compat)
-    min_valid_pairs: int = 3,
-    max_attempts: int = 8,
+    reps: int = 3,           # minimum full replays per side
+    min_valid_ratios: int = 5,
+    max_replays: int = 8,
     budget_s: float = 1500.0,
+    clean_gate: float = 1.25,
 ) -> dict:
     """Full-replay N→4N evidence: the whole WAL replayed end-to-end at
     local[N] and local[4N], one warm JVM per side (see
     ``cdc_replay_worker`` for why warm — the first replay's batches carry
-    C2/codegen warmup that under-measures the divided-by side), lo/hi
-    replays interleaved back-to-back per attempt.
+    C2/codegen warmup that under-measures the divided-by side), driven in
+    BATCH LOCKSTEP: the k-th batch runs on the lo side, then immediately
+    on the hi side, so every compared pair executes inside the same host
+    phase (~35 s window, well under the multi-minute phase period).
 
-    Same floor-anchored estimator as ``run_controlled`` (its docstring has
-    the full argument): host interference is strictly additive-positive,
-    so each side's BEST per-batch-floor throughput estimates the
-    uncontaminated cost; a valid pair has both members within 1.25x of
-    their side's best and an implied efficiency <= 1.0 (above 1 proves
-    lo-side contamination → discarded, trimming only our favorable tail).
-    Full replays span minutes, so pairs cross host phases far more than
-    the controlled trials — sampling is ADAPTIVE until ``min_valid_pairs``
-    clean pairs exist, bounded by ``max_attempts``/``budget_s``. Headline
-    = median over valid pairs; fallback = floor ratio capped at 1.0. Raw
-    runs are recorded alongside (BENCH_LOCAL.json keeps the full
+    Why lockstep, not replay-level pairing (rounds 2-3) or a pure floor
+    ratio: this box's noise is MULTIPLICATIVE as well as additive — whole
+    ±2.5x speed phases, plus single-active-core turbo that speeds the lo
+    side more than the hi side — so two-minute replays almost never sit in
+    one phase, and each side's session-best floor can come from DIFFERENT
+    phases (measured: a stall-heavy session produced session-best floors
+    on both sides yet implied 0.787, while its only same-phase clean pairs
+    said 0.85-0.93). The ratio of two temporally-adjacent batch walls
+    cancels the phase's common factor; the median over those ratios is the
+    estimator.
+
+    A steady per-batch ratio (batch_index >= 1; batch 0 re-pays first-touch
+    costs) is VALID when BOTH members land within ``clean_gate`` x their
+    side's session-best wall for that batch index and the implied
+    efficiency is <= 1.0 (above 1 proves lo-side contamination —
+    discarded, trimming only our favorable tail). The tight gate matters:
+    contended phases slow the WIDE side disproportionately (measured in a
+    slow window: hi 13.4 s vs clean 6.6 s while lo only 32.5 s vs 25 s),
+    so dirty-window ratios are biased LOW — only simultaneously-clean
+    windows estimate the uncontended cluster. Sampling is adaptive until
+    ``min_valid_ratios`` exist, bounded by ``max_replays``/``budget_s``.
+    Headline = median over valid ratios; fallback = capped floor ratio.
+    Raw batches are recorded alongside (BENCH_LOCAL.json keeps the full
     arrays)."""
     import statistics
 
@@ -430,34 +444,67 @@ def run_scaling(
     for c in (lo_c, hi_c):
         readline(procs[c])  # ready (warmup replay done)
 
-    runs: dict[int, list[dict]] = {lo_c: [], hi_c: []}
-    pairs: list[float] = []
+    # batches[cores] = flat list of per-batch records, in lockstep order
+    batches: dict[int, list[dict]] = {lo_c: [], hi_c: []}
 
-    def tp(r: dict) -> float:
-        # the run's per-batch-floor steady throughput (see cdc_replay_worker)
-        return r["steady_events_per_s_floor"]
+    def step(c: int) -> dict:
+        procs[c].stdin.write("step\n")
+        procs[c].stdin.flush()
+        r = readline(procs[c])
+        batches[c].append(r)
+        return r
 
-    def valid_indices() -> list[int]:
-        lo_top = max(tp(r) for r in runs[lo_c])
-        hi_top = max(tp(r) for r in runs[hi_c])
-        return [
-            i for i in range(len(pairs))
-            if tp(runs[lo_c][i]) >= lo_top / 1.25
-            and tp(runs[hi_c][i]) >= hi_top / 1.25
-            and pairs[i] <= 1.0
-        ]
+    def side_floor(c: int, bidx: int) -> float:
+        walls = [b["wall_s"] for b in batches[c] if b["batch_index"] == bidx]
+        return min(walls)
 
+    def ratio_rows() -> list[dict]:
+        rows = []
+        for blo, bhi in zip(batches[lo_c], batches[hi_c]):
+            if blo["batch_index"] != bhi["batch_index"]:
+                continue  # defensive; lockstep keeps these aligned
+            eff = (blo["wall_s"] / bhi["wall_s"]) / (hi_c / lo_c)
+            rows.append({
+                "batch_index": blo["batch_index"],
+                "lo_wall_s": blo["wall_s"], "hi_wall_s": bhi["wall_s"],
+                "efficiency": round(eff, 3),
+                "steady": blo["batch_index"] >= 1,
+            })
+        return rows
+
+    def valid_effs() -> list[float]:
+        out = []
+        for r in ratio_rows():
+            if not r["steady"] or r["efficiency"] > 1.0:
+                continue
+            bidx = r["batch_index"]
+            if (r["lo_wall_s"] > clean_gate * side_floor(lo_c, bidx)
+                    or r["hi_wall_s"] > clean_gate * side_floor(hi_c, bidx)):
+                continue
+            out.append(r["efficiency"])
+        return out
+
+    n_batches = None
+    replays_done = 0
     try:
         t0 = time.monotonic()
-        while len(pairs) < max_attempts and (time.monotonic() - t0) < budget_s:
-            for c in (lo_c, hi_c):
-                procs[c].stdin.write("go\n")
-                procs[c].stdin.flush()
-                runs[c].append(readline(procs[c]))
-            eff = (tp(runs[hi_c][-1]) / tp(runs[lo_c][-1])) / (hi_c / lo_c)
-            pairs.append(round(eff, 3))
-            if (len(pairs) >= max(2, reps)
-                    and len(valid_indices()) >= min_valid_pairs):
+        while True:
+            # one full replay on both sides, batch-lockstep
+            k = 0
+            while True:
+                blo = step(lo_c)
+                bhi = step(hi_c)
+                n_batches = blo["n_batches"]
+                k += 1
+                if k >= n_batches:
+                    break
+            replays_done += 1
+            if replays_done >= max_replays:
+                break
+            if (time.monotonic() - t0) >= budget_s:
+                break
+            if (replays_done >= max(2, reps)
+                    and len(valid_effs()) >= min_valid_ratios):
                 break
     finally:
         # a worker dying mid-protocol must not leak its sibling's warm JVM
@@ -473,52 +520,54 @@ def run_scaling(
                 procs[c].kill()
             shutil.rmtree(f"/dev/shm/replay_c{c}", ignore_errors=True)
 
-    lo_top = max(tp(r) for r in runs[lo_c])
-    hi_top = max(tp(r) for r in runs[hi_c])
-    vidx = valid_indices()
-    valid = [pairs[i] for i in vidx]
-    floor_ratio = round(min((hi_top / lo_top) / (hi_c / lo_c), 1.0), 3)
-    # HEADLINE = floor ratio. Host noise is strictly additive-positive, so
-    # each side's best floor converges on its true cost from above and the
-    # ratio treats both sides identically. Same-time pairing (the medians
-    # recorded alongside) is robust to phases but BIASED LOW for
-    # efficiency: the hi-core wall is ~4x shorter, so the same absolute
-    # noise inflates it ~4x more in relative terms — r3 measured 0.788
-    # pair-median vs 0.804 floor ratio on identical data. The floor ratio
-    # is the estimator; the pair medians are the robustness check.
-    headline = floor_ratio
+    rows = ratio_rows()
+    steady_rows = [r for r in rows if r["steady"]]
+    valid = valid_effs()
+    # floor ratio (cleanest batch each side at the same batch index) as the
+    # fallback/underline — under multiplicative phases it can mix phases,
+    # which is exactly why the paired median is the headline here
+    floor_idx = 1 if n_batches and n_batches > 1 else 0
+    lo_floor = side_floor(lo_c, floor_idx)
+    hi_floor = side_floor(hi_c, floor_idx)
+    floor_ratio = round(min((lo_floor / hi_floor) / (hi_c / lo_c), 1.0), 3)
+    headline = (round(statistics.median(valid), 3) if valid else floor_ratio)
     out = {}
     for cores in SCALE_PAIR:
-        vals = [r["steady_events_per_s"] for r in runs[cores]]
+        steady = [b for b in batches[cores] if b["batch_index"] >= 1]
+        tps = [b["events_per_s"] for b in steady]
         out[f"local[{cores}]"] = {
-            "runs": runs[cores],
-            "steady_events_per_s_median": round(statistics.median(vals), 1),
-            "steady_events_per_s_best": round(max(vals), 1),
+            "batches": batches[cores],
+            "steady_events_per_s_median": round(statistics.median(tps), 1),
+            "steady_events_per_s_best": round(max(tps), 1),
         }
     out["protocol"] = (
-        "warm-JVM full-WAL replays (one warmup replay/side — C2+codegen "
-        "need ~4-5 batches; a stream runs for days, so post-warmup IS "
-        "steady state), lo/hi back-to-back per attempt; each run's "
-        "estimate = its per-batch FLOOR steady throughput (3 steady "
-        "batches/replay; interference is additive-positive, so the fastest "
-        "batch is the uncontaminated one); adaptive sampling; valid pair = "
-        "both members within 1.25x of their side's best floor and "
-        "efficiency <= 1.0; headline = median over valid pairs (fallback: "
-        "capped floor ratio)"
+        "warm-JVM full-WAL replays at both parallelism levels, driven in "
+        "BATCH LOCKSTEP (k-th batch on local[N], then immediately on "
+        "local[4N] — every compared pair sits in the same host phase, "
+        "cancelling the box's multiplicative speed phases); steady "
+        "batches only (batch 0 re-pays first-touch costs); valid ratio = "
+        "BOTH members within clean_gate x their side's best wall at that "
+        "batch index (contended phases slow the wide side "
+        "disproportionately, biasing dirty-window ratios low) and "
+        "efficiency <= 1.0; headline = median over valid per-batch ratios "
+        "(fallback: capped floor ratio)"
     )
     out["pair"] = {"N": lo_c, "4N": hi_c}
-    out["pair_efficiencies"] = pairs
-    out["valid_pair_indices"] = vidx
+    out["replays_per_side"] = replays_done
+    out["ratio_rows"] = rows
+    out["pair_efficiencies"] = [r["efficiency"] for r in steady_rows]
     out["pair_efficiencies_valid"] = valid
+    out["clean_gate"] = clean_gate
     out["floors"] = {
-        "lo_steady_events_per_s_floor_best": round(lo_top, 1),
-        "hi_steady_events_per_s_floor_best": round(hi_top, 1),
+        "lo_steady_wall_floor_s": lo_floor,
+        "hi_steady_wall_floor_s": hi_floor,
         "floor_ratio_efficiency": floor_ratio,
     }
     out["scaling_efficiency"] = headline
-    out["scaling_efficiency_median"] = statistics.median(pairs)
-    out["scaling_efficiency_pair_median"] = (
-        round(statistics.median(valid), 3) if valid else None)
+    out["scaling_efficiency_valid_n"] = len(valid)
+    out["scaling_efficiency_median_raw"] = (
+        round(statistics.median([r["efficiency"] for r in steady_rows]), 3)
+        if steady_rows else None)
     return out
 
 
