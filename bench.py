@@ -346,8 +346,10 @@ def run_controlled(
         "protocol": "warm-JVM interleaved single-batch trials "
                     f"(batch={results[hi_c][0]['n_events']} events, same batch both sides); "
                     "adaptive sampling; valid pair = both members <= 1.25x side floor "
-                    "and efficiency <= 1.0; headline = floor ratio (pair "
-                    "medians recorded as the robustness check)",
+                    "and efficiency <= 1.0; headline = median over valid "
+                    "pairs (same-phase by construction — multiplicative "
+                    "host phases cancel in the ratio; fallback: capped "
+                    "floor ratio)",
         "pair": {"N": lo_c, "4N": hi_c},
         "trials": results,
         "pair_efficiencies": pairs,
@@ -382,8 +384,8 @@ def _shm_wal(wal: Path) -> Path:
 
 def run_scaling(
     shm_wal: Path,
-    reps: int = 3,           # minimum full replays per side
-    min_valid_ratios: int = 5,
+    reps: int = 4,           # minimum full replays per side
+    min_valid_ratios: int = 8,
     max_replays: int = 8,
     budget_s: float = 1500.0,
     clean_gate: float = 1.25,
@@ -530,7 +532,11 @@ def run_scaling(
     lo_floor = side_floor(lo_c, floor_idx)
     hi_floor = side_floor(hi_c, floor_idx)
     floor_ratio = round(min((lo_floor / hi_floor) / (hi_c / lo_c), 1.0), 3)
-    headline = (round(statistics.median(valid), 3) if valid else floor_ratio)
+    # <3 valid ratios is luck, not a median — and early replays anchor the
+    # clean gate weakly (2 samples per batch index), so the minimum replay
+    # count in the loop above matters as much as this threshold
+    headline = (round(statistics.median(valid), 3) if len(valid) >= 3
+                else floor_ratio)
     out = {}
     for cores in SCALE_PAIR:
         steady = [b for b in batches[cores] if b["batch_index"] >= 1]
@@ -654,17 +660,19 @@ def main() -> None:
             for k in ("trials", "pair_efficiencies", "valid_pair_indices"):
                 cr["controlled"].pop(k, None)
             cr["controlled"]["protocol"] = \
-                "warm-JVM interleaved 3M-event trials; headline=floor " \
-                "ratio (full text: BENCH_LOCAL.json)"
+                "warm-JVM interleaved 3M-event trials; headline=median " \
+                "of same-phase valid pairs (full text: BENCH_LOCAL.json)"
         if "full_replay" in cr:
             cr["full_replay"].pop("valid_pair_indices", None)
+            cr["full_replay"].pop("ratio_rows", None)
             for blk in cr["full_replay"].values():
                 if isinstance(blk, dict):
                     blk.pop("runs", None)
+                    blk.pop("batches", None)
             cr["full_replay"]["protocol"] = \
-                "warm-JVM full-WAL replays, per-batch floor steady " \
-                "throughput; headline=floor ratio (full text: " \
-                "BENCH_LOCAL.json)"
+                "warm-JVM full-WAL replays in batch lockstep; " \
+                "headline=median of same-phase valid per-batch ratios " \
+                "(full text: BENCH_LOCAL.json)"
         # headline scalars last on the line
         for k in ("cdc_events_per_sec", "scaling_efficiency",
                   "scaling_efficiency_best", "scaling_efficiency_full_replay",
@@ -675,8 +683,15 @@ def main() -> None:
     line = json.dumps(result)
     if len(line) > 3500:  # belt-and-braces: never exceed a 4 KB tail capture
         slim = json.loads(line)
-        slim.pop("cdc_replay", None)
+        for blk in slim.get("cdc_replay", {}).values():
+            if isinstance(blk, dict):
+                for k in ("pair_efficiencies", "pair_efficiencies_valid",
+                          "protocol"):
+                    blk.pop(k, None)
         line = json.dumps(slim)
+        if len(line) > 3500:  # last resort
+            slim.pop("cdc_replay", None)
+            line = json.dumps(slim)
     print(line)
 
 
