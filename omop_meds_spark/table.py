@@ -194,14 +194,50 @@ class SnapshotTable:
     """Single-writer transactional parquet table with a delta-encoded JSON
     snapshot log (checkpoint every ``checkpoint_every`` versions)."""
 
-    def __init__(self, root: str | Path, key_cols: list[str], n_buckets: int = 32,
-                 checkpoint_every: int = 16):
+    def __init__(self, root: str | Path, key_cols: list[str],
+                 n_buckets: int | None = None, checkpoint_every: int = 16):
         self.root = Path(root)
         self.key_cols = list(key_cols)
-        self.n_buckets = n_buckets
         self.checkpoint_every = max(1, checkpoint_every)
         (self.root / "_log").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(parents=True, exist_ok=True)
+        # The bucket layout is TABLE STATE, not a session parameter: a
+        # process that re-opens an existing table with a different
+        # n_buckets (or key order) would bucket new generations
+        # differently, and read_live's per-bucket LWW reduce would then
+        # emit DUPLICATE keys — silent corruption — while point lookups
+        # probe the wrong bucket. Layout is therefore persisted at
+        # creation (_table.json, atomic rename) and adopted on open;
+        # an explicit n_buckets that contradicts the stored layout is an
+        # error, and n_buckets=None means "use the stored layout"
+        # (fresh tables default to 32).
+        meta_path = self.root / "_table.json"
+        stored: dict | None = None
+        if meta_path.exists():
+            try:
+                stored = json.loads(meta_path.read_text())
+            except (OSError, ValueError):
+                stored = None  # unreadable — re-stamp from the caller below
+        if stored is not None:
+            if list(stored.get("key_cols", [])) != self.key_cols:
+                raise ValueError(
+                    f"snapshot table {self.root} was created with key_cols="
+                    f"{stored.get('key_cols')}, not {self.key_cols}")
+            stored_buckets = int(stored["n_buckets"])
+            if n_buckets is not None and int(n_buckets) != stored_buckets:
+                raise ValueError(
+                    f"snapshot table {self.root} was created with "
+                    f"n_buckets={stored_buckets}; opening with "
+                    f"n_buckets={n_buckets} would corrupt the bucket "
+                    f"layout (re-bucketing requires a full rewrite)")
+            self.n_buckets = stored_buckets
+        else:
+            self.n_buckets = int(n_buckets) if n_buckets is not None else 32
+            tmp = meta_path.with_name(".tmp._table.json")
+            tmp.write_text(json.dumps({
+                "format": 1, "key_cols": self.key_cols,
+                "n_buckets": self.n_buckets}))
+            tmp.replace(meta_path)  # atomic publish, same as manifests
         self._cache: tuple[int, dict] | None = None  # (version, state)
         self._writer_token = uuid.uuid4().hex  # per-instance writer identity
 

@@ -340,3 +340,24 @@ def test_writer_lease_steals_from_dead_pid_and_same_pid(spark, tmpdir_path):
     assert t2.version == 1
     t2.release_writer()
     assert not lock.exists()
+
+
+def test_bucket_layout_persisted_and_validated(spark, tmpdir_path):
+    """The bucket layout is table state: re-opening with n_buckets=None
+    adopts the stored layout (the CLI maintenance path), and an explicit
+    contradictory n_buckets or key_cols raises instead of silently
+    corrupting the per-bucket LWW reduce."""
+    import pytest
+
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=8)
+    d = _delta(spark, [("a", "p", 0, "U")], n_buckets=8)
+    t.commit_delta(d, 0, _touched(d), 0)
+
+    t2 = SnapshotTable(tmpdir_path, KEYS)  # None -> adopt stored
+    assert t2.n_buckets == 8
+    assert _live_rows(spark, t2) == _live_rows(spark, t)
+
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        SnapshotTable(tmpdir_path, KEYS, n_buckets=32)
+    with pytest.raises(ValueError, match="key_cols"):
+        SnapshotTable(tmpdir_path, ["repo"], n_buckets=8)
