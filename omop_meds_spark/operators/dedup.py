@@ -171,29 +171,27 @@ def minhash_lsh_pairs(
     ).select("id", "bb.band", "bb.bh")
     # Pair generation WITHOUT a self-join: group each band bucket into an
     # id array (one shuffle on the bucket key), drop degenerate buckets by
-    # array size, then emit the i<j pairs with nested array transforms.
-    # The old self-join shape (and its counts+semi cap) made four
+    # array size, then emit the a<b pairs by exploding TWICE — once to one
+    # row per (bucket, id_a), once more over that row's value-greater
+    # suffix. The old self-join shape (and its counts+semi cap) made four
     # non-identical subtrees, each recomputing the whole signature
     # pipeline (explode + md5 + agg) — plan-asserted single-subtree now.
-    # Per-bucket pair arrays are bounded by max_bucket^2 (cap first).
+    # Memory: the two-step explode keeps the largest single array value at
+    # O(max_bucket) elements (the bucket's own id list / one suffix),
+    # NEVER the flattened O(max_bucket^2) pair array of the earlier shape
+    # — raising the cap to 10k costs ~80 KB per row, not ~1.6 GB.
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") <= max_bucket)
         .filter(F.size("ids") >= 2)
     )
-    pairs_col = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x: F.transform(
-                F.filter(F.col("ids"), lambda y: y > x),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    lhs = buckets.select("ids", F.explode("ids").alias("id_a"))
     return (
-        buckets.select(F.explode(pairs_col).alias("p"))
-        .select("p.id_a", "p.id_b")
+        lhs.select(
+            "id_a",
+            F.explode(F.filter(F.col("ids"), lambda y: y > F.col("id_a"))).alias("id_b"),
+        )
         .distinct()
     )
 

@@ -130,5 +130,28 @@ def test_minhash_lsh_single_signature_subtree(spark):
     (the old shape ran the md5 pipeline 4x)."""
     plan = _plan(spark, "minhash_lsh_pairs")
     assert "Join" not in plan
-    assert plan.count("Generate") == 3  # shingles, bands, pairs — once each
+    # shingles, bands, per-bucket id_a, per-id_a suffix — once each (the
+    # two-step pair explode keeps array values O(bucket), not O(bucket^2))
+    assert plan.count("Generate") == 4
     assert _exchanges(plan) == 3  # sig agg, bucket agg, distinct
+    assert "flatten" not in plan  # no materialized full pair array
+
+
+def test_minhash_lsh_max_size_bucket(spark):
+    """Force one bucket to its worst case — n identical docs land in the
+    SAME bucket in every band — and check the pair set is exactly C(n,2)
+    with a<b ordering. The two-step explode means the largest array value
+    during this query is n ids (O(bucket)), not n^2/2 pair structs; with
+    the cap lowered below n the bucket is dropped entirely."""
+    from omop_meds_spark.operators.dedup import minhash_lsh_pairs
+
+    n = 120
+    docs = spark.createDataFrame(
+        [(i, "the same exact document text repeated verbatim for lsh") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4).collect()
+    assert len(pairs) == n * (n - 1) // 2
+    assert all(r.id_a < r.id_b for r in pairs)
+    capped = minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4, max_bucket=n - 1)
+    assert capped.count() == 0
