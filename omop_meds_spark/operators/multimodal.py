@@ -9,9 +9,13 @@ this container:
 * ``decode_stub=True`` (default in tests) runs a deterministic fake decoder
   (metadata derived from the payload bytes themselves) so the distributed
   plumbing is exercised end-to-end with verifiable outputs.
-* ``decode_stub=False`` raises ``NotImplementedError`` at the decode step
-  with a note naming the real implementation point (PIL/libav inside the
-  same ``mapInPandas`` body — per-batch, vectorized, identical schema).
+* ``decode_stub=False`` REALLY decodes the audio modality: RIFF/WAVE
+  16-bit-PCM payloads are parsed with a pure-Python chunk walker
+  (:func:`_wav_decode` — no external libs), exercised by the
+  ``wav_decode_real`` query against an exact DuckDB oracle. Image/video
+  payloads still raise ``NotImplementedError`` naming the real
+  implementation point (PIL/libav inside the same ``mapInPandas`` body —
+  per-batch, vectorized, identical schema).
 
 Scale notes: media payloads dominate row size, so the iterator form of
 ``mapInPandas`` is used — batches stream through Python with bounded
@@ -24,6 +28,7 @@ mapInPandas), which a downstream ``repartition`` can rebalance.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -64,10 +69,24 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
-_STUB_NOTE = (
-    "real decoder not available in this container — plug PIL/imageio/libav "
-    "here, same mapInPandas body, same output schema"
+WAV_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("checksum", LongType()),
+    ]
 )
+
+_STUB_NOTE = (
+    "real image/video decoder not available in this container — plug "
+    "PIL/imageio/libav here, same mapInPandas body, same output schema "
+    "(audio/wav already has a real pure-Python path: _wav_decode)"
+)
+
+WAV_RATE = 8000  # synthetic payload sample rate (Hz), mono 16-bit PCM
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int]:
@@ -76,15 +95,80 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
     return 16 + d[0] % 240, 16 + d[1] % 240
 
 
+def _wav_encode(samples: list[int], rate: int = WAV_RATE) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: mono 16-bit PCM, little-endian.
+
+    >>> b = _wav_encode([0, 1000, -1000])
+    >>> b[:4], b[8:12], len(b)
+    (b'RIFF', b'WAVE', 50)
+    """
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def _wav_decode(b: bytes) -> dict:
+    """REAL pure-Python WAV decode: walk RIFF chunks (tolerating extra
+    chunks and odd-size padding per the RIFF spec), validate mono 16-bit
+    PCM, unpack the samples, return numeric metadata. No external libs —
+    ``struct`` only.
+
+    >>> d = _wav_decode(_wav_encode([256, -512, 0]))
+    >>> (d['n_samples'], d['sample_rate'], d['peak_abs'], d['checksum'])
+    (3, 8000, 512, -256)
+    """
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, sz = struct.unpack_from("<4sI", b, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", b, pos)
+        elif cid == b"data":
+            data = b[pos : pos + sz]
+        pos += sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if (audio_fmt, n_ch, bits) != (1, 1, 16):
+        raise ValueError(f"unsupported wav: fmt={audio_fmt} ch={n_ch} bits={bits}")
+    samples = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+    return {
+        "n_samples": len(samples),
+        "sample_rate": rate,
+        "duration_ms": len(samples) * 1000 // rate,
+        "peak_abs": max((abs(s) for s in samples), default=0),
+        "checksum": sum(samples),
+    }
+
+
 def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """binary payload → typed metadata row, one per media item."""
+    """binary payload → typed metadata row, one per media item.
+
+    With ``decode_stub=False``, RIFF/WAVE payloads take the REAL decode
+    path (``width``/``height`` carry ``n_samples``/``sample_rate`` — the
+    generic dimension slots of the shared schema, documented here); other
+    media types raise until a real image/video decoder is plugged in."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(_STUB_NOTE)
+            dims = []
+            for mt, p in zip(pdf["media_type"], pdf["payload"]):
+                b = bytes(p)
+                if decode_stub:
+                    dims.append(_fake_dims(b))
+                elif b[:4] == b"RIFF":
+                    d = _wav_decode(b)
+                    dims.append((d["n_samples"], d["sample_rate"]))
+                else:
+                    raise NotImplementedError(_STUB_NOTE)
             payloads = pdf["payload"]
-            dims = [_fake_dims(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
@@ -150,3 +234,54 @@ def media_from_documents(docs: DataFrame, ascii_safe: bool = False) -> DataFrame
         .alias("media_type"),
         F.encode(text, "UTF-8").alias("payload"),
     )
+
+
+def wav_from_documents(docs: DataFrame, rate: int = WAV_RATE) -> DataFrame:
+    """Deterministic REAL WAV payloads from the documents table: one mono
+    16-bit PCM sample per ascii-safe character, ``sample = (ord(c) - 79) *
+    256`` (printable ASCII 0x20–0x7E → −12032..12032, safely inside int16).
+    The mapping is simple enough that a SQL oracle recomputes the expected
+    decoded aggregates straight from the text, making the binary
+    encode→decode round trip exactly checkable without any media library."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _wav_encode([(ord(c) - 79) * 256 for c in t], rate)
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pd.Series(["audio/wav"] * len(pdf), dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    ascii_text = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "?")
+    src = docs.select(F.col("doc_id").cast("long"), ascii_text.alias("text"))
+    return src.mapInPandas(body, MEDIA_SCHEMA)
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """REAL audio decode over (media_id, payload): parse each RIFF/WAVE
+    payload with :func:`_wav_decode` and emit numeric metadata. Same
+    bounded-memory iterator ``mapInPandas`` shape as the stub decoders —
+    this is the stub's promised 'plug the real decoder here' point, filled
+    in for the one modality a pure-Python parser can cover."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_wav_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_samples": pd.Series([r["n_samples"] for r in rows], dtype="int64"),
+                    "sample_rate": pd.Series([r["sample_rate"] for r in rows], dtype="int64"),
+                    "duration_ms": pd.Series([r["duration_ms"] for r in rows], dtype="int64"),
+                    "peak_abs": pd.Series([r["peak_abs"] for r in rows], dtype="int64"),
+                    "checksum": pd.Series([r["checksum"] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(body, WAV_SCHEMA)

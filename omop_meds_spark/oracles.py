@@ -590,6 +590,34 @@ SELECT media_id, r.range AS frame_idx,
 FROM n JOIN range(8) r ON r.range < n.nf
 """
 
+# wav_decode_real: the engine builds a REAL RIFF/WAVE 16-bit-PCM payload
+# (one sample per ascii-safe character, sample = (ascii-79)*256) and parses
+# it back with a pure-Python decoder; the oracle recomputes the decoded
+# aggregates directly from the text — an exact, library-free check of the
+# binary encode→decode round trip. Rate interpolated from the module
+# constant so parity cannot drift.
+from .operators.multimodal import WAV_RATE as _WAV_RATE  # noqa: E402
+
+ORACLES["wav_decode_real"] = rf"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS media_id,
+         regexp_replace(text, '[^\x20-\x7E]', '?', 'g') AS s
+  FROM documents),
+smp AS (
+  SELECT media_id,
+         list_transform(range(1, length(s) + 1),
+                        i -> (ascii(substr(s, i, 1)) - 79) * 256) AS samples
+  FROM t)
+SELECT media_id,
+       len(samples)::BIGINT AS n_samples,
+       {_WAV_RATE}::BIGINT AS sample_rate,
+       (len(samples) * 1000 // {_WAV_RATE})::BIGINT AS duration_ms,
+       COALESCE(list_aggregate(list_transform(samples, x -> abs(x)), 'max'), 0)::BIGINT
+         AS peak_abs,
+       COALESCE(list_aggregate(samples, 'sum'), 0)::BIGINT AS checksum
+FROM smp
+"""
+
 # LSH ANN: hyperplane weights are the same md5-60-bit arithmetic as the
 # minhash SQL ((md5_long(plane|dim) % 2001) - 1000); bucket = sign-bit
 # string over the 6 plane projections, ordered by plane; scoring = the

@@ -618,6 +618,18 @@ def media_frame_sample(spark, sf_dir):
     return sample_frames(media_from_documents(docs, ascii_safe=True))
 
 
+def wav_decode_real(spark, sf_dir):
+    """REAL (non-stub) audio decode: build canonical RIFF/WAVE 16-bit-PCM
+    payloads from document text (one sample per ascii-safe character), then
+    parse them back with the pure-Python chunk-walking decoder. The DuckDB
+    oracle recomputes every decoded aggregate straight from the text, so
+    the binary encode→decode round trip is exact-checked end to end."""
+    from .operators.multimodal import decode_wav, wav_from_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return decode_wav(wav_from_documents(docs))
+
+
 # ================================================================ similarity
 def embedding_topk(spark, sf_dir):
     """Brute-force ANN baseline: exact top-5 by quantized dot product."""
@@ -686,6 +698,7 @@ ALL_QUERIES = {
     "code_mapping_udf": code_mapping_udf,
     "media_decode": media_decode,
     "media_frame_sample": media_frame_sample,
+    "wav_decode_real": wav_decode_real,
     "embedding_topk": embedding_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup": embedding_near_dup,

@@ -11,6 +11,7 @@ from __future__ import annotations
 import doctest
 
 import omop_meds_spark.event_config as event_config
+import omop_meds_spark.operators.multimodal as multimodal
 import omop_meds_spark.table as table
 import omop_meds_spark.verify as verify
 
@@ -31,3 +32,8 @@ def test_event_config_doctests():
 
 def test_verify_doctests():
     _run(verify)
+
+
+def test_multimodal_doctests():
+    # the WAV encode/decode helpers are pure Python (struct only)
+    _run(multimodal)

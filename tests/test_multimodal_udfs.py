@@ -91,9 +91,58 @@ def test_decode_media_stub_deterministic(docs):
 
 
 def test_decode_media_real_decoder_is_gated(docs):
+    # media_from_documents payloads are raw text bytes (not RIFF), so the
+    # non-stub path must refuse them — only audio/wav has a real decoder
     with pytest.raises(Exception) as ei:
         decode_media(media_from_documents(docs), decode_stub=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_decode_media_real_wav_path(docs):
+    """decode_stub=False REALLY decodes RIFF/WAVE payloads: width/height
+    carry (n_samples, sample_rate) parsed from the binary header."""
+    from omop_meds_spark.operators.multimodal import WAV_RATE, wav_from_documents
+
+    out = {
+        r["media_id"]: r
+        for r in decode_media(wav_from_documents(docs), decode_stub=False).collect()
+    }
+    assert len(out) == len(DOCS)
+    for doc_id, text, _, _ in DOCS:
+        n = len(text)  # ascii-safe replacement is 1:1 for BMP text
+        assert out[doc_id]["width"] == n
+        assert out[doc_id]["height"] == WAV_RATE
+        assert out[doc_id]["n_bytes"] == 44 + 2 * n  # canonical header + PCM16
+
+
+def test_wav_round_trip_exact(docs):
+    """Binary encode→decode round trip: decoded aggregates equal the
+    values computed independently from the source characters."""
+    from omop_meds_spark.operators.multimodal import decode_wav, wav_from_documents
+
+    out = {r["media_id"]: r for r in decode_wav(wav_from_documents(docs)).collect()}
+    for doc_id, text, _, _ in DOCS:
+        ascii_text = "".join(c if " " <= c <= "~" else "?" for c in text)
+        samples = [(ord(c) - 79) * 256 for c in ascii_text]
+        r = out[doc_id]
+        assert r["n_samples"] == len(samples)
+        assert r["duration_ms"] == len(samples) * 1000 // r["sample_rate"]
+        assert r["peak_abs"] == max((abs(s) for s in samples), default=0)
+        assert r["checksum"] == sum(samples)
+
+
+def test_wav_decode_rejects_malformed():
+    from omop_meds_spark.operators.multimodal import _wav_decode, _wav_encode
+
+    with pytest.raises(ValueError):
+        _wav_decode(b"not a wav at all")
+    with pytest.raises(ValueError):
+        _wav_decode(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+    # stereo is unsupported: flip n_channels in a valid header
+    b = bytearray(_wav_encode([1, 2, 3]))
+    b[22] = 2
+    with pytest.raises(ValueError):
+        _wav_decode(bytes(b))
 
 
 def test_sample_frames_shape(docs):
