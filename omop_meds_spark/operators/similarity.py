@@ -202,3 +202,119 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ----------------------------------------------------------------- IVF ANN
+def int_l2sq(a: F.Column, b: F.Column) -> F.Column:
+    """Exact squared L2 distance between two quantized (int64) vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_codebook(corpus: DataFrame, id_col: str, emb_col: str, n_centroids: int):
+    """The IVF codebook as a ONE-ROW DataFrame: the ``n_centroids``
+    corpus rows with the smallest ids, collected into a cid-sorted array of
+    (cid, ce) structs. Deterministic (id order), data-driven (real corpus
+    vectors, unlike the random-hyperplane LSH path), and tiny —
+    n_centroids × dim int64s, e.g. 256 × 1024 = 2 MB at real embedding
+    widths — so it broadcasts as plan-side state exactly like a trained
+    IVF codebook would on a production cluster (where it comes from a
+    separate k-means job over a sample; centroid *selection* is pluggable,
+    everything downstream only needs the (cid, ce) array)."""
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), quantized_col(emb_col).alias("ce"))
+        .orderBy("cid")
+        .limit(n_centroids)
+    )
+    return cents.agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents"))
+
+
+def _nearest_cells(e: F.Column, cents: F.Column, n_probe: int) -> F.Column:
+    """ids of the ``n_probe`` nearest centroids to quantized vector ``e``,
+    as a pure Column expression over the broadcast codebook array: compute
+    (dist, cid) per centroid, array_sort (lexicographic struct order ==
+    dist asc, cid asc — ties deterministic), slice, project cid. Zero
+    exchanges — assignment is a projection, the IVF analogue of
+    ``lsh_bucket_col``."""
+    ranked = F.array_sort(
+        F.transform(cents, lambda c: F.struct(int_l2sq(e, c["ce"]).alias("d"), c["cid"].alias("cid")))
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, e): each corpus row assigned to its single nearest
+    centroid (n_probe=1). The codebook joins in as a broadcast one-row
+    cross join, so the assignment adds NO exchange over the corpus."""
+    return (
+        corpus.select(F.col(id_col).alias("id"), quantized_col(emb_col).alias("e"))
+        .crossJoin(F.broadcast(codebook))
+        .select("id", "e", F.element_at(_nearest_cells(F.col("e"), F.col("cents"), 1), 1).alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    spark,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the second scale path for
+    similarity search, complementing ``lsh_ann_topk``.
+
+    Plan shape (the 100 TB-critical part):
+      1. codebook: n_centroids smallest-id corpus vectors → one-row array
+         (a LIMIT job over a tiny prefix — the only extra action).
+      2. corpus assignment: broadcast cross join + argmin projection —
+         ZERO corpus exchanges; each vector lands in exactly one cell.
+      3. queries probe their ``n_probe`` nearest cells (explode of an
+         n_probe-element array on the tiny query side only).
+      4. candidate join on cell with the QUERY side broadcast; exact
+         quantized-int dot scores; per-query window top-k.
+    Corpus-side cost is one scan + one hash exchange (the cell join), and
+    candidates per query shrink by ~n_probe/n_centroids — the classic IVF
+    recall/cost dial. A corpus row is in exactly one cell, so
+    (query, neighbor) pairs are already distinct — no dedup needed.
+
+    All math is exact int64 over floor-quantized vectors with deterministic
+    cid tie-breaks, so the result has an exact DuckDB oracle
+    (oracles.py ``ann_ivf_topk``). Recall vs ``brute_force_topk`` is
+    measured in tests/test_similarity_ivf.py."""
+    from pyspark.sql import Window as W
+
+    codebook = _centroid_codebook(corpus, id_col, emb_col, n_centroids)
+    c = ivf_assign(corpus, codebook, id_col, emb_col).select(
+        F.col("id").alias("neighbor_id"), F.col("e").alias("c_emb"), "cell"
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), quantized_col(emb_col).alias("q_emb"))
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id",
+            "q_emb",
+            F.explode(_nearest_cells(F.col("q_emb"), F.col("cents"), n_probe)).alias("cell"),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", int_dot(F.col("q_emb"), F.col("c_emb")).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

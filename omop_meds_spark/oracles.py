@@ -657,6 +657,45 @@ SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
 
 # cosine near-dup: same bucket CTEs as ann_lsh_topk; exact quantized cosine
 # (int dot + IEEE sqrt/mul/div are bit-identical across engines)
+# IVF ANN: centroids = the 8 smallest-vec_id quantized vectors; every vector
+# assigned to its nearest centroid (exact int64 L2^2, ties -> lower cid);
+# queries probe their 2 nearest cells; scoring = quantized int dot within
+# probed cells (twin of operators/similarity.py ivf_topk with
+# n_centroids=8, n_probe=2, k=5, dim=64).
+ORACLES["ann_ivf_topk"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 10000)::BIGINT) AS e
+  FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM e ORDER BY vec_id LIMIT 8),
+d AS (
+  SELECT e.vec_id, cent.cid,
+         list_aggregate(list_transform(range(1, 65),
+             i -> (e.e[i] - cent.ce[i]) * (e.e[i] - cent.ce[i])), 'sum') AS dist
+  FROM e, cent),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d) WHERE rn = 1),
+qcell AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d WHERE vec_id < 10) WHERE rn <= 2),
+c AS (SELECT a.vec_id AS neighbor_id, e.e AS ce, a.cell
+      FROM assign a JOIN e ON a.vec_id = e.vec_id),
+q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 10),
+s AS (
+  SELECT qc.query_id, c.neighbor_id,
+         (list_aggregate(list_transform(range(1, 65), i -> q.qe[i] * c.ce[i]),
+                         'sum'))::BIGINT AS score
+  FROM qcell qc JOIN c USING (cell) JOIN q ON q.query_id = qc.query_id
+  WHERE c.neighbor_id <> qc.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+"""
+
 ORACLES["embedding_near_dup"] = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 10000)::BIGINT) AS e

@@ -646,6 +646,16 @@ def ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_ann_topk(emb, queries, spark, k=5, n_planes=6, dim=64)
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (second scale path): data-driven centroid codebook, corpus
+    assigned to one cell by a zero-exchange argmin projection, queries
+    probe their 2 nearest of 8 cells. Exact int64 math throughout — exact
+    DuckDB oracle; recall vs brute force in tests/test_similarity_ivf.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries, spark, k=5, n_centroids=8, n_probe=2)
+
+
 def embedding_near_dup(spark, sf_dir):
     """Fifth dedup family: embedding-cosine near-dup pairs, LSH-bucket
     candidates + exact quantized-cosine verify (never all-pairs)."""
@@ -701,5 +711,6 @@ ALL_QUERIES = {
     "wav_decode_real": wav_decode_real,
     "embedding_topk": embedding_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup": embedding_near_dup,
 }

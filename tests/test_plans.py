@@ -155,3 +155,18 @@ def test_minhash_lsh_max_size_bucket(spark):
     assert all(r.id_a < r.id_b for r in pairs)
     capped = minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4, max_bucket=n - 1)
     assert capped.count() == 0
+
+
+def test_ivf_assignment_is_projection(spark):
+    """IVF corpus assignment must add NO corpus exchange: the codebook
+    joins in as a broadcast one-row cross join and the argmin is Column
+    algebra. The only hash exchange in the whole plan is the final
+    per-query window; the cell join broadcasts the (tiny) probe side.
+    Guards against regressing to a corpus×centroid row explosion with a
+    groupBy(id) argmin (a full-corpus shuffle per assignment)."""
+    plan = _plan(spark, "ann_ivf_topk")
+    assert _exchanges(plan) == 1  # window partitionBy(query_id) only
+    assert "BroadcastHashJoin" in plan  # cell join broadcasts the probes
+    # the only Generate allowed is the n_probe explode on the query side:
+    # never a corpus-side explode
+    assert plan.count("Generate explode") <= 1
