@@ -56,6 +56,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "text_features",
     "embedding_topk",
+    "ann_ivf_topk",
     "asof_join_latest",
 ]
 
