@@ -1,0 +1,158 @@
+"""Model-based fuzz of the snapshot log's maintenance surface.
+
+Round 3's only genuine defect (vacuum unlinking LIVE data files after a
+manual ``checkpoint()``) lived in the interplay of ``_publish`` /
+``checkpoint`` / ``vacuum`` / compaction-style replaces — individually
+simple operations whose composition has sharp corners (dual-kind versions,
+delta-vs-reset replay, referenced-set computation). This test drives
+hundreds of randomized operation sequences against a ``SnapshotTable``
+whose "data files" are driver-touched placeholder ``.parquet`` files (no
+Spark session: vacuum and manifest replay are pure driver-side file ops and
+never read parquet contents), mirrors every step in a pure-Python reference
+model, and asserts after EVERY operation:
+
+* every retained version materializes to exactly the model's files map
+  (``manifest_at`` replay correctness across ckpt/delta mixtures);
+* every file referenced by any retained version exists on disk
+  (the round-3 data-loss class);
+* after a vacuum, every file referenced by NO retained version is gone
+  (retention actually reclaims space) and dropped versions resolve to
+  ``None`` — never ``RuntimeError`` (the stale-dual-delta class);
+* the latest state's committed-batch set and watermark survive unchanged.
+
+No reference-repo analogue: the reference's resume model is per-file
+``.done`` markers (reference: src/OMOP_MEDS/pre_meds.py:74-79); the
+transactional log is this engine's own surface, so it gets its own spec.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from omop_meds_spark.table import SnapshotTable
+
+N_BUCKETS = 4
+
+
+class _Model:
+    """Pure-Python twin of the snapshot log: per-version materialized
+    files maps plus the committed set / watermark, with vacuum retention."""
+
+    def __init__(self) -> None:
+        self.versions: dict[int, dict[str, list[str]]] = {}
+        self.latest: int = -1
+        self.committed: set[int] = set()
+        self.watermark: int = -1
+
+    def _next_files(self) -> dict[str, list[str]]:
+        if self.latest < 0:
+            return {}
+        return {b: list(fs) for b, fs in self.versions[self.latest].items()}
+
+    def commit(self, files_add: dict[str, list[str]],
+               files_replace: dict[str, list[str]],
+               batch_id: int | None, watermark_seq: int) -> None:
+        files = self._next_files()
+        for b, fs in files_add.items():
+            files[b] = files.get(b, []) + list(fs)
+        for b, fs in files_replace.items():
+            if fs:
+                files[b] = list(fs)
+            else:
+                files.pop(b, None)
+        self.latest += 1
+        self.versions[self.latest] = files
+        if batch_id is not None:
+            self.committed.add(batch_id)
+        self.watermark = max(self.watermark, watermark_seq)
+
+    def vacuum(self, keep_versions: int) -> None:
+        if len(self.versions) <= keep_versions:
+            return
+        floor = sorted(self.versions)[-keep_versions]
+        self.versions = {v: f for v, f in self.versions.items() if v >= floor}
+
+    def referenced(self) -> set[str]:
+        return {f for files in self.versions.values() for fs in files.values() for f in fs}
+
+
+def _touch(root, rel: str) -> None:
+    p = root / rel
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_bytes(b"x")  # placeholder: vacuum never reads parquet contents
+
+
+def _check(t: SnapshotTable, m: _Model) -> None:
+    # every retained version materializes to the model's files map
+    for v, want in m.versions.items():
+        got = t.manifest_at(v)
+        assert got is not None, f"retained v{v} vanished"
+        assert got["files"] == {b: fs for b, fs in want.items() if fs}, f"v{v} files diverged"
+        for fs in want.values():
+            for f in fs:
+                assert (t.root / f).exists(), f"LIVE file {f} (referenced by v{v}) was deleted"
+    # dropped versions resolve to None, never RuntimeError
+    for v in range(0, m.latest + 1):
+        if v not in m.versions:
+            assert t.manifest_at(v) is None, f"dropped v{v} should read as None"
+    if m.latest >= 0:
+        assert t.version == m.latest
+        assert t.committed_batches() == m.committed
+        assert t.watermark() == m.watermark
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_log_maintenance_model_fuzz(tmpdir_path, seed):
+    rng = random.Random(seed)
+    t = SnapshotTable(tmpdir_path, ["repo", "path"], n_buckets=N_BUCKETS,
+                      checkpoint_every=rng.choice([2, 3, 5, 16]))
+    m = _Model()
+    next_batch = 0
+    next_file = 0
+    watermark = 0
+
+    def fresh_files(n: int) -> list[str]:
+        nonlocal next_file
+        out = []
+        for _ in range(n):
+            rel = f"data/g{next_file:05d}/part-0.parquet"
+            _touch(t.root, rel)
+            out.append(rel)
+            next_file += 1
+        return out
+
+    for _ in range(rng.randint(20, 40)):
+        op = rng.random()
+        if op < 0.55 or m.latest < 0:  # append commit (the hot-path shape)
+            buckets = rng.sample(range(N_BUCKETS), rng.randint(1, 3))
+            adds = {str(b): fresh_files(rng.randint(1, 2)) for b in buckets}
+            watermark += rng.randint(1, 5)
+            t._publish(batch_id=next_batch, files_add=adds,
+                       watermark_seq=watermark)
+            m.commit(adds, {}, next_batch, watermark)
+            next_batch += 1
+        elif op < 0.72:  # compaction-style replace (no batch commit)
+            cur = m.versions[m.latest]
+            if cur:
+                b = rng.choice(sorted(cur))
+                repl = {b: fresh_files(1) if rng.random() < 0.8 else []}
+                t._publish(batch_id=m.latest, files_replace=repl,
+                           watermark_seq=-1, add_committed=False)
+                m.commit({}, repl, None, -1)
+        elif op < 0.86:  # manual checkpoint (the round-3 bug trigger)
+            t.checkpoint()
+        else:  # vacuum under a random retention window
+            k = rng.randint(1, 4)
+            ran = len(m.versions) > k  # below the floor vacuum is a no-op
+            t.vacuum(keep_versions=k)
+            m.vacuum(k)
+            live = m.referenced()
+            on_disk = {str(p.relative_to(t.root))
+                       for p in (t.root / "data").rglob("*.parquet")}
+            assert live <= on_disk, f"vacuum lost live files: {live - on_disk}"
+            if ran:  # reclamation: unreferenced files must actually be gone
+                assert on_disk == live, (
+                    f"vacuum leaked unreferenced files: {on_disk - live}")
+        _check(t, m)
