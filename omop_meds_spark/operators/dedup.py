@@ -134,20 +134,20 @@ def minhash_signatures_df(
     return hashed.groupBy("id").agg(*[F.min(f"h{j}").alias(f"mh_{j}") for j in range(k)])
 
 
-def minhash_lsh_pairs(
+def banded_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
-    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (a < b) whose signatures collide in at
-    least one LSH band. ``max_bucket`` drops degenerate buckets (e.g. empty
-    documents) that would explode quadratically at scale."""
+    """(id, band, bh) LSH postings: each document's signature split into
+    ``bands`` row-groups, each hashed to one bucket key. One narrow
+    projection over ``minhash_signatures_df`` + an explode to ``bands``
+    rows per document — the banding itself is shuffle-free."""
     rows_per_band = k // bands
     sig = minhash_signatures_df(df, id_col, text_col, k)
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -169,6 +169,20 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) whose signatures collide in at
+    least one LSH band. ``max_bucket`` drops degenerate buckets (e.g. empty
+    documents) that would explode quadratically at scale."""
+    banded = banded_signatures(df, id_col, text_col, k, bands)
     # Pair generation WITHOUT a self-join: group each band bucket into an
     # id array (one shuffle on the bucket key), drop degenerate buckets by
     # array size, then emit the a<b pairs by exploding TWICE — once to one
@@ -191,6 +205,54 @@ def minhash_lsh_pairs(
         lhs.select(
             "id_a",
             F.explode(F.filter(F.col("ids"), lambda y: y > F.col("id_a"))).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_probe(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """INCREMENTAL near-dup candidates: an arriving batch probes the
+    corpus' LSH bucket index instead of re-pairing the whole corpus.
+
+    This is the dedup shape a CDC-fed training-data pipeline actually runs
+    per micro-batch: the corpus' (band, bh) → [ids] bucket index is built
+    ONCE (and at 100 TB persisted/maintained as a bucketed table — exactly
+    the ``buckets`` relation below), so each batch costs only (a) hashing
+    the batch's own documents (O(batch), the same signature projection as
+    the full pass) and (b) one equi-join of the batch's ``bands`` postings
+    per doc against the index. A CDC micro-batch is tiny next to the
+    corpus, so Spark broadcasts the probe side — the corpus index is
+    never reshuffled, and AQE never sees an all-pairs shape. Degenerate
+    corpus buckets (> ``max_bucket`` members, boilerplate clusters) are
+    dropped by the same dial as :func:`minhash_lsh_pairs`.
+
+    Returns distinct ``(new_id, corpus_id)`` candidates, self-matches
+    excluded (an update's own prior version shares every band).
+    """
+    probe = banded_signatures(new_docs, id_col, text_col, k, bands)
+    index = (
+        banded_signatures(corpus, id_col, text_col, k, bands)
+        .groupBy("band", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") <= max_bucket)
+    )
+    hits = F.broadcast(probe.withColumnRenamed("id", "new_id")).join(
+        index, ["band", "bh"]
+    )
+    return (
+        hits.select(
+            "new_id",
+            F.explode(F.filter(F.col("ids"), lambda y: y != F.col("new_id"))).alias(
+                "corpus_id"
+            ),
         )
         .distinct()
     )

@@ -482,6 +482,48 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
 """
 
+# incremental probe twin: the batch (doc_id % 10 = 0) probes the corpus'
+# (band, bh) buckets; the cap applies to CORPUS buckets only, mirroring the
+# Spark index filter (dedup.minhash_lsh_probe). The shingle/band CTEs are
+# the shared fragments re-rooted on each side's filtered relation.
+def _shingles_where(pred: str) -> str:
+    return _SHINGLES.replace("FROM documents)", f"FROM documents WHERE {pred})")
+
+
+def _bands_from(sig_name: str) -> str:
+    return _BANDS.replace("FROM sig", f"FROM {sig_name}")
+
+
+ORACLES["lsh_incremental_probe"] = f"""
+WITH sh_new AS ({_shingles_where("doc_id % 10 = 0")}),
+hb_new AS (SELECT doc_id, {_MH_BASE} AS hs FROM sh_new),
+sig_new AS (
+  SELECT doc_id,
+         {_MH}
+  FROM hb_new),
+banded_new AS (
+{_bands_from("sig_new")}
+),
+sh_c AS ({_shingles_where("doc_id % 10 <> 0")}),
+hb_c AS (SELECT doc_id, {_MH_BASE} AS hs FROM sh_c),
+sig_c AS (
+  SELECT doc_id,
+         {_MH}
+  FROM hb_c),
+banded_c_all AS (
+{_bands_from("sig_c")}
+),
+banded_c AS (
+  SELECT b.* FROM banded_c_all b
+  JOIN (SELECT band, bh FROM banded_c_all GROUP BY band, bh
+        HAVING COUNT(*) <= {_MAX_BUCKET}) ok
+    ON b.band = ok.band AND b.bh = ok.bh
+)
+SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+FROM banded_new n
+JOIN banded_c c ON n.band = c.band AND n.bh = c.bh AND n.id <> c.id
+"""
+
 _SIMHASH_TERMS = "\n       + ".join(
     "CASE WHEN COALESCE(list_aggregate(list_transform(hs, "
     f"x -> CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END), 'sum'), 0) > 0 "

@@ -542,6 +542,16 @@ def minhash_lsh_pairs(spark, sf_dir):
     return DD.minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4)
 
 
+def lsh_incremental_probe(spark, sf_dir):
+    """Incremental near-dup: a simulated CDC batch (every 10th doc) probes
+    the LSH bucket index of the remaining corpus — per-batch cost O(batch),
+    the corpus index is built once and never reshuffled."""
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return DD.minhash_lsh_probe(batch, corpus, "doc_id", "text", k=8, bands=4)
+
+
 def simhash_groups(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", DD.simhash_col(F.col("text")).alias("simhash"))
@@ -700,6 +710,7 @@ ALL_QUERIES = {
     "doc_fingerprint_dedup": doc_fingerprint_dedup,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "lsh_incremental_probe": lsh_incremental_probe,
     "simhash_groups": simhash_groups,
     "jaccard_pairs": jaccard_pairs,
     "binary_metadata": binary_metadata,

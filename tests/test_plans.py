@@ -170,3 +170,46 @@ def test_ivf_assignment_is_projection(spark):
     # the only Generate allowed is the n_probe explode on the query side:
     # never a corpus-side explode
     assert plan.count("Generate explode") <= 1
+
+
+def test_lsh_probe_broadcasts_batch_not_corpus(spark):
+    """The incremental probe must broadcast the BATCH side: the corpus'
+    bucket index is the big relation (at 100 TB a persisted table) and may
+    never be rebroadcast or re-shuffled per micro-batch. Exchange budget:
+    probe sig agg + corpus sig agg + corpus bucket agg + final distinct."""
+    plan = _plan(spark, "lsh_incremental_probe")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+    assert _exchanges(plan) == 4
+
+
+def test_lsh_probe_semantics(spark):
+    """A new doc finds its corpus near-twin via shared band buckets; an
+    unrelated new doc matches nothing; a corpus doc re-arriving as an
+    update never pairs with itself; the corpus-bucket cap drops
+    boilerplate clusters."""
+    from omop_meds_spark.operators.dedup import minhash_lsh_probe
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " today"),
+         (3, "completely different corpus text about spark physical plans")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, base),  # near-dup of 1 and 2
+         (101, "unrelated fresh content with no twin anywhere at all zqx"),
+         (1, base)],   # an UPDATE of corpus doc 1 re-arriving
+        "doc_id long, text string",
+    )
+    got = {(r.new_id, r.corpus_id)
+           for r in minhash_lsh_probe(batch, corpus, "doc_id", "text").collect()}
+    assert (100, 1) in got
+    assert all(n != c for n, c in got), "self-match leaked through"
+    assert not any(n == 101 for n, _ in got), "unrelated doc matched"
+    # cap: an n-identical boilerplate cluster in the corpus is dropped
+    boiler = spark.createDataFrame(
+        [(i, base) for i in range(10, 20)], "doc_id long, text string"
+    )
+    capped = minhash_lsh_probe(batch, boiler, "doc_id", "text", max_bucket=5)
+    assert capped.count() == 0
