@@ -200,3 +200,44 @@ def test_lookup_works_without_explicit_schema_json(spark, tmpdir_path):
         == [probe * 10]
     )
     assert hits == 50
+
+
+def test_change_feed_drives_incremental_near_dup(spark, tmpdir_path):
+    """Composition of the two pillars: the CDC change feed supplies the
+    batch side of the incremental LSH probe. A documents table receives
+    commits; the consumer tails read_changes from its cursor, probes the
+    corpus' LSH bucket index with ONLY the changed rows, and flags
+    near-dups of pre-existing content — without ever re-pairing (or even
+    re-reading) the unchanged corpus."""
+    from omop_meds_spark.operators.dedup import minhash_lsh_probe
+
+    base = ("the quick brown fox jumps over the lazy dog beside "
+            "the old stone bridge on a cold morning")
+    t = SnapshotTable(tmpdir_path, ["repo", "path"], n_buckets=4)
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, seq_no long, op string, text string")
+
+    # batch 0: the initial corpus
+    t.commit_delta_auto(
+        docs([("r1", "a.txt", 1, "U", base),
+              ("r1", "b.txt", 2, "U", "totally different content about parquet footers")]),
+        batch_id=0)
+    cursor = t.version
+    corpus = t.read_live(spark).withColumn(
+        "doc_id", F.concat_ws("/", "repo", "path"))
+
+    # batch 1: one near-dup of a.txt arrives, plus one fresh doc
+    t.commit_delta_auto(
+        docs([("r2", "copy.txt", 3, "U", base + " indeed"),
+              ("r2", "new.txt", 4, "U", "unrelated fresh text with no twin zqxv")]),
+        batch_id=1)
+    changed = t.read_changes(spark, since_version=cursor).filter(
+        F.col("op") != "D").withColumn(
+        "doc_id", F.concat_ws("/", "repo", "path"))
+    assert changed.count() == 2  # only batch 1's rows, never the corpus
+
+    hits = {(r.new_id, r.corpus_id)
+            for r in minhash_lsh_probe(changed, corpus, "doc_id", "text").collect()}
+    assert hits == {("r2/copy.txt", "r1/a.txt")}
