@@ -424,6 +424,49 @@ SELECT md5(array_to_string({TOKS}, ' ')) AS fp,
 FROM documents GROUP BY 1
 """
 
+# composite corpus-prep pass: quality gate -> exact-dedup survivor election
+# (arg_min on doc_id per fingerprint) -> per-language rollup; the quality
+# and lang CTEs are the same expressions as their standalone oracles, so
+# the gate boundary (>= 0.5) compares bit-identical doubles in both engines
+ORACLES["corpus_prep_summary"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS chars,
+         len(regexp_extract_all(text, '\\S+')) AS words,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+         len(regexp_extract_all(lower(text), '{_LANG_RX["en"]}')) AS stop,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         len(regexp_extract_all(text, '[.!?]+')) AS sentences,
+         md5(array_to_string({TOKS}, ' ')) AS fp,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens,
+         {_SCORES}
+  FROM documents),
+r AS (
+  SELECT doc_id, fp, n_tokens, s_en, s_de, s_fr, s_es,
+         CASE WHEN chars > 0 THEN alpha::DOUBLE / chars ELSE 0.0 END AS alpha_ratio,
+         least(CASE WHEN words > 0 THEN stop::DOUBLE * 10.0 / words ELSE 0.0 END, 1.0) AS stop_ratio,
+         CASE WHEN words > 0 THEN nonspace::DOUBLE / words ELSE 0.0 END AS awl,
+         sentences
+  FROM b),
+scored AS (
+  SELECT doc_id, fp, n_tokens,
+         (alpha_ratio + stop_ratio
+          + CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN sentences > 0 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es' END AS pred_lang
+  FROM r),
+surv AS (
+  SELECT fp, arg_min(pred_lang, doc_id) AS pred_lang,
+         arg_min(n_tokens, doc_id) AS n_tokens
+  FROM scored WHERE quality >= 0.5 GROUP BY fp)
+SELECT pred_lang, COUNT(*) AS n_docs, (SUM(n_tokens))::BIGINT AS total_tokens
+FROM surv GROUP BY pred_lang
+"""
+
 _SHINGLES = f"""
   SELECT doc_id, CASE WHEN len(toks) >= 3
               THEN list_transform(range(1, len(toks) - 1),

@@ -528,6 +528,30 @@ def doc_fingerprint_dedup(spark, sf_dir):
     return DD.exact_dedup(docs, "doc_id", "text")
 
 
+def corpus_prep_summary(spark, sf_dir):
+    """Composite training-corpus prep in ONE declarative plan: quality-gate
+    (score >= 0.5) -> exact-dedup survivor election (min doc_id per
+    normalized fingerprint) -> per-language doc/token rollup. The shape a
+    real pipeline runs nightly: all Column algebra, two shuffles total
+    (fingerprint agg, language agg), quality/lang/token computed in the
+    same projection so the text is scanned once."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.lang_id(F.col("text")).alias("pred_lang"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    ).filter(F.col("quality") >= 0.5)
+    surv = scored.groupBy("fp").agg(
+        F.min_by(F.struct("pred_lang", "n_tokens"), F.col("doc_id")).alias("w")
+    )
+    return surv.groupBy(F.col("w.pred_lang").alias("pred_lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w.n_tokens").alias("total_tokens"),
+    )
+
+
 def minhash_signatures(spark, sf_dir):
     """MinHash signatures, flattened to columns (cross-engine md5 hashes);
     explode+agg form — one regex pass per doc, shuffle of k longs/doc."""
@@ -708,6 +732,7 @@ ALL_QUERIES = {
     "quality_score": quality_score,
     "token_count_by_source": token_count_by_source,
     "doc_fingerprint_dedup": doc_fingerprint_dedup,
+    "corpus_prep_summary": corpus_prep_summary,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "lsh_incremental_probe": lsh_incremental_probe,

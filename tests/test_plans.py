@@ -213,3 +213,13 @@ def test_lsh_probe_semantics(spark):
     )
     capped = minhash_lsh_probe(batch, boiler, "doc_id", "text", max_bucket=5)
     assert capped.count() == 0
+
+
+def test_corpus_prep_single_scan_two_exchanges(spark):
+    """The composite prep pass must scan the text ONCE (quality, lang,
+    tokens, fingerprint in one projection) and shuffle exactly twice
+    (fingerprint survivor agg, language rollup)."""
+    plan = _plan(spark, "corpus_prep_summary")
+    assert _exchanges(plan) == 2
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Generate" not in plan
