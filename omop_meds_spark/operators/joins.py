@@ -185,3 +185,47 @@ def care_site_enrich(
         return fact.withColumn(name_col, F.col(id_col))
     dim = care_site.select(F.col(id_col), F.col(name_col))
     return fact.join(F.broadcast(dim), id_col, "left")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicitly skew-salted equi-join, for join keys too hot even for
+    AQE's post-shuffle skew splitting (AQE splits a skewed PARTITION, but a
+    single pathological key still lands every row in one task; salting
+    splits the KEY).
+
+    The dimension side is replicated across ``n_salts`` salt values (an
+    explode on a literal range — O(|dim| * n_salts), the price of the
+    trick, so keep it for genuinely small-to-medium dims); the fact side
+    derives a deterministic per-row salt from the full row content, so a
+    hot key's rows spread over ``n_salts`` reducers. The join key becomes
+    (key, salt) — same result set as the plain join, shuffle fan-in per
+    task bounded by 1/n_salts of the hot key.
+
+    The LWW aggregation analogue (upsert.last_writer_wins ``salted=True``)
+    handles hot GROUPs; this handles hot JOIN keys. Identical duplicate
+    fact rows share a salt (content hash) — acceptable: real-world hot
+    keys are many DISTINCT rows per key.
+
+    ``how`` supports 'inner' and 'left' (fact-preserving); dim-preserving
+    joins would need the salts flipped.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(F.struct(*fact.columns)), F.lit(n_salts))
+    fact_s = fact.withColumn("__salt", salt)
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    joined = fact_s.join(
+        dim_s,
+        (F.col(fact_key) == F.col(dim_key)) & (fact_s["__salt"] == dim_s["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")

@@ -99,6 +99,15 @@ FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
 WHERE rn = 1
 """
 
+# the salted join must produce the PLAIN join's exact result set — the
+# oracle is deliberately the unsalted formulation
+ORACLES["skew_salted_join"] = """
+SELECT s_name, COUNT(*) AS n_li,
+       (SUM(l_quantity::DECIMAL(18,4)))::DOUBLE AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
 ORACLES["semi_join_cohort"] = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders

@@ -26,7 +26,7 @@ from .functions.codes import code_template, gender_decode, strip_code_suffix, ze
 from .functions.datetime_ops import end_of_day, sentinel_date
 from .operators import dedup as DD
 from .operators import similarity as SIM
-from .operators.joins import join_concept, semi_join
+from .operators.joins import join_concept, salted_join, semi_join
 from .operators.meds import EventBlock, code_occurrence_counts, to_meds_events
 from .operators.upsert import last_writer_wins, last_writer_wins_window
 
@@ -182,6 +182,20 @@ def semi_join_cohort(spark, sf_dir):
     cohort = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     return semi_join(orders, cohort.select(F.col("c_custkey").alias("o_custkey")), "o_custkey").select(
         "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def skew_salted_join(spark, sf_dir):
+    """Explicit key-salting for hot join keys: lineitem x supplier with the
+    dim replicated over 8 salts and the fact salt derived from row content
+    — identical result set to the plain join (that's what the oracle
+    checks), hot-key fan-in bounded to 1/8 per reducer."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = salted_join(li, sup, "l_suppkey", "s_suppkey", n_salts=8)
+    return j.groupBy("s_name").agg(
+        F.count("*").alias("n_li"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
     )
 
 
@@ -706,6 +720,7 @@ ALL_QUERIES = {
     "cdc_change_feed": cdc_change_feed,
     "dedup_earliest": dedup_earliest,
     "semi_join_cohort": semi_join_cohort,
+    "skew_salted_join": skew_salted_join,
     "anti_join_orphans": anti_join_orphans,
     "concept_join_preference": concept_join_preference,
     "group_count_codes": group_count_codes,

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -223,3 +225,44 @@ def test_corpus_prep_single_scan_two_exchanges(spark):
     assert _exchanges(plan) == 2
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "Generate" not in plan
+
+
+def test_salted_join_salt_in_shuffle_key(spark):
+    """The salt must be part of the join key. When the dim fits a
+    broadcast, Catalyst rightly broadcasts (skew is a shuffle problem —
+    salting is then free); with broadcast off (the genuinely-big-dim case
+    the operator exists for) the exchange must hash (key, salt) so a hot
+    key's rows spread over n_salts reducers."""
+    plan = _plan(spark, "skew_salted_join")
+    assert re.search(r"Join \[[^\]]*__salt", plan), "salt not in join keys"
+    assert plan.count("Generate explode") == 1  # the dim-side salt fan-out
+
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(thr)
+    spark.conf.set(thr, "-1")
+    try:
+        plan = _plan(spark, "skew_salted_join")
+    finally:
+        spark.conf.set(thr, prev)
+    assert re.search(r"hashpartitioning\([^)]*__salt", plan), "salt not in shuffle key"
+
+
+def test_salted_join_semantics(spark):
+    """Result set identical to the plain join under extreme skew (every
+    fact row the same key), and 'left' preserves unmatched fact rows."""
+    from omop_meds_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, f"v{i}") for i in range(500)] + [(99, "orphan")], "k long, v string")
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "dk long, name string")
+    inner = salted_join(fact, dim, "k", "dk", n_salts=4)
+    assert inner.count() == 500
+    assert inner.filter(F.col("name") != "one").count() == 0
+    left = salted_join(fact, dim, "k", "dk", n_salts=4, how="left")
+    assert left.count() == 501
+    assert left.filter(F.col("name").isNull()).count() == 1
+    # the hot key really does spread: >1 distinct salt over its rows
+    salts = (fact.withColumn(
+        "s", F.pmod(F.xxhash64(F.struct(*fact.columns)), F.lit(4)))
+        .filter(F.col("k") == 1).select("s").distinct().count())
+    assert salts > 1
