@@ -202,3 +202,30 @@ def test_apply_batch_restores_adaptive_conf(spark, tmpdir_path):
                    files_per_batch=2, adaptive=True)
     r2.run()
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_resume_after_vacuum(spark, tmpdir_path):
+    """Retention cleanup mid-stream must not break exactly-once resume:
+    vacuum drops old manifests/files, but the committed-batch watermark
+    and per-bucket offsets live in the CURRENT state, so a fresh runner
+    still skips applied batches and converges to the oracle state."""
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=6000, n_repos=10, paths_per_repo=30, n_files=6, seed=29)
+
+    r1 = CDCRunner(spark, wal, f"{tmpdir_path}/table", n_buckets=8, files_per_batch=2)
+    for b in r1.reader.plan_batches()[:2]:
+        r1.apply_batch(b)
+    # ops event: aggressive retention on BOTH targets between batches
+    for tbl in (r1.table, r1.meds_table):
+        res = tbl.vacuum(keep_versions=1)
+        assert res["dropped_manifests"] >= 1
+
+    r2 = CDCRunner(spark, wal, f"{tmpdir_path}/table", n_buckets=8, files_per_batch=2)
+    applied = r2.run()
+    assert [m["batch_id"] for m in applied] == [2]
+    assert r2.table.committed_batches() == {0, 1, 2}
+
+    fp = verify.state_fingerprint(r2.final_state(), FP_COLS)
+    assert fp == _oracle_fp(wal)
+    # replaying the whole WAL once more after the vacuum stays a no-op
+    assert r2.run() == []
