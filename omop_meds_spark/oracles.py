@@ -231,6 +231,32 @@ SELECT user_id, event_id,
 FROM f
 """
 
+ORACLES["rollup_order_stats"] = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       (SUM(o_totalprice::DECIMAL(18,4)))::DOUBLE AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+ORACLES["top_orders_per_priority"] = """
+SELECT o_orderpriority, o_orderkey, price, rn FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice::DOUBLE AS price,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+ORACLES["median_quantity_by_flag"] = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity::DOUBLE, 0.5) AS median_qty,
+       quantile_cont(l_quantity::DOUBLE, 0.9) AS p90_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
 _MEDS_EVENTS = """
   SELECT o_custkey::BIGINT AS subject_id, o_orderdate AS time,
          concat_ws('//', 'ORDER', o_orderstatus) || '//start' AS code,

@@ -365,6 +365,50 @@ def sessionize(spark, sf_dir):
     return ev.select("user_id", "event_id", sess.cast("long").alias("session_id"))
 
 
+def rollup_order_stats(spark, sf_dir):
+    """Grouping-sets aggregation (A2 family widened): GROUP BY ROLLUP over
+    (status, priority) — per-group rows plus subtotal and grand-total rows
+    with NULL group keys. Spark expands the grouping sets map-side into ONE
+    shuffled aggregate (no per-level re-scan), which is the shape you want
+    at 100 TB: cost is one pass regardless of rollup depth."""
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+    )
+
+
+def top_orders_per_priority(spark, sf_dir):
+    """Ranked top-k per group: the 3 highest-value orders per priority
+    class, totally ordered by (price desc, key asc) so ties are
+    deterministic. One window exchange on the group key — never a global
+    sort; at scale k rows per group survive the per-partition filter."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("price"), "rn")
+    )
+
+
+def median_quantity_by_flag(spark, sf_dir):
+    """Exact grouped percentiles (continuous interpolation — the same
+    definition DuckDB's quantile_cont uses): median and p90 of lineitem
+    quantity per return flag. Exact percentile sorts within each group;
+    for sketch-sized state at 100 TB you would swap approx_percentile
+    (t-digest) — kept exact here because the oracle gate is bit-equality."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.5)).alias("median_qty"),
+        F.percentile(q, F.lit(0.9)).alias("p90_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 # ====================================================================== MEDS
 def _order_events(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
@@ -746,6 +790,9 @@ ALL_QUERIES = {
     "json_extract_props": json_extract_props,
     "windowed_event_counts": windowed_event_counts,
     "sessionize": sessionize,
+    "rollup_order_stats": rollup_order_stats,
+    "top_orders_per_priority": top_orders_per_priority,
+    "median_quantity_by_flag": median_quantity_by_flag,
     "meds_event_explosion": meds_event_explosion,
     "meds_event_explosion_cfg": meds_event_explosion_cfg,
     "meds_code_counts": meds_code_counts,

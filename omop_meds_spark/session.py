@@ -44,6 +44,11 @@ def get_spark(
         # cores input partitions (scan parallelism bounds batch scaling)
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) carries NO parquet column statistics,
+        # which blinds zone-map file skipping and row-group pruning on
+        # every timestamp column; standard int64 micros is what Iceberg /
+        # Delta write and what the stats machinery needs
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")

@@ -107,6 +107,7 @@ def _empty_state() -> dict:
         "version": -1,
         "batch_id": -1,
         "files": {},
+        "file_stats": {},
         "schema": None,
         "committed_hwm": -1,
         "committed_extra": [],
@@ -114,6 +115,56 @@ def _empty_state() -> dict:
         "offsets": {},
         "committed_at": None,
     }
+
+
+def _stat_json(v):
+    """JSON-safe encoding of a parquet footer min/max value that preserves
+    ORDER under the same encoding (so pruning can compare the encoded
+    bounds against an encoded predicate literal). Naive ISO-8601 strings
+    sort chronologically, so datetimes encode as ``isoformat()``.
+
+    >>> _stat_json(7), _stat_json(2.5), _stat_json("ab")
+    (7, 2.5, 'ab')
+    >>> from datetime import datetime
+    >>> _stat_json(datetime(2024, 1, 2, 3, 4, 5))
+    '2024-01-02T03:04:05'
+    >>> _stat_json(b"raw") is None      # unsupported type: no stat recorded
+    True
+    """
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None  # booleans prune nothing useful; None = no stat
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
+
+def _stats_overlap(bounds, lo, hi) -> bool:
+    """True when a file whose column spans ``bounds = [min, max]`` may hold
+    rows in ``[lo, hi]`` (either side None = unbounded). Conservative: any
+    missing or incomparable bound keeps the file.
+
+    >>> _stats_overlap([10, 20], 15, None), _stats_overlap([10, 20], 21, None)
+    (True, False)
+    >>> _stats_overlap([10, 20], None, 9), _stats_overlap(None, 0, 1)
+    (False, True)
+    >>> _stats_overlap([10, 20], "a", None)   # incomparable: keep
+    True
+    """
+    if not bounds:
+        return True
+    fmin, fmax = bounds
+    try:
+        if lo is not None and fmax is not None and fmax < lo:
+            return False
+        if hi is not None and fmin is not None and fmin > hi:
+            return False
+    except TypeError:
+        return True
+    return True
 
 
 def _absorb(hwm: int, extra: set[int], batch_id: int) -> tuple[int, set[int]]:
@@ -171,6 +222,13 @@ def _apply_delta(state: dict, d: dict) -> dict:
             files[b] = list(fs)
         else:
             files.pop(b, None)
+    # zone maps ride along with the files they describe: merge this delta's
+    # per-file column bounds, then keep stats only for LIVE files (replace /
+    # compaction retires the old generations' stats with the files)
+    file_stats = {**state.get("file_stats", {}), **d.get("file_stats", {})}
+    if file_stats:
+        live = {f for fs in files.values() for f in fs}
+        file_stats = {f: s for f, s in file_stats.items() if f in live}
     hwm, extra = state["committed_hwm"], set(state["committed_extra"])
     if d.get("commit") is not None:
         hwm, extra = _absorb(hwm, extra, int(d["commit"]))
@@ -181,6 +239,7 @@ def _apply_delta(state: dict, d: dict) -> dict:
         "version": d["version"],
         "batch_id": d["batch_id"],
         "files": files,
+        "file_stats": file_stats,
         "schema": d.get("schema") or state["schema"],
         "committed_hwm": hwm,
         "committed_extra": sorted(extra),
@@ -195,7 +254,8 @@ class SnapshotTable:
     snapshot log (checkpoint every ``checkpoint_every`` versions)."""
 
     def __init__(self, root: str | Path, key_cols: list[str],
-                 n_buckets: int | None = None, checkpoint_every: int = 16):
+                 n_buckets: int | None = None, checkpoint_every: int = 16,
+                 stats_cols: list[str] | None = None):
         self.root = Path(root)
         self.key_cols = list(key_cols)
         self.checkpoint_every = max(1, checkpoint_every)
@@ -231,12 +291,19 @@ class SnapshotTable:
                     f"n_buckets={n_buckets} would corrupt the bucket "
                     f"layout (re-bucketing requires a full rewrite)")
             self.n_buckets = stored_buckets
+            # zone-map columns are ADVISORY (a file without stats is simply
+            # never pruned), so unlike the bucket layout an explicit
+            # override is safe — it only changes what FUTURE commits record
+            self.stats_cols = (list(stats_cols) if stats_cols is not None
+                               else list(stored.get("stats_cols", [])))
         else:
             self.n_buckets = int(n_buckets) if n_buckets is not None else 32
+            self.stats_cols = list(stats_cols or [])
             tmp = meta_path.with_name(".tmp._table.json")
             tmp.write_text(json.dumps({
                 "format": 1, "key_cols": self.key_cols,
-                "n_buckets": self.n_buckets}))
+                "n_buckets": self.n_buckets,
+                "stats_cols": self.stats_cols}))
             tmp.replace(meta_path)  # atomic publish, same as manifests
         self._cache: tuple[int, dict] | None = None  # (version, state)
         self._writer_token = uuid.uuid4().hex  # per-instance writer identity
@@ -360,6 +427,7 @@ class SnapshotTable:
             return None
         out = dict(m)
         out["files"] = {b: list(fs) for b, fs in m["files"].items()}
+        out["file_stats"] = {f: dict(s) for f, s in m.get("file_stats", {}).items()}
         out["offsets"] = dict(m.get("offsets", {}))
         out["committed_extra"] = list(m.get("committed_extra", []))
         return out
@@ -431,32 +499,64 @@ class SnapshotTable:
         return out
 
     # --------------------------------------------------------------- read
+    @staticmethod
+    def _between_filter(df: DataFrame, col: str, lo, hi) -> DataFrame:
+        conds = []
+        if lo is not None:
+            conds.append(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            conds.append(F.col(col) <= F.lit(hi))
+        for c in conds:
+            df = df.filter(c)
+        return df
+
     def read(self, spark: SparkSession, buckets: list[int] | None = None,
-             version: int | None = None) -> DataFrame | None:
+             version: int | None = None,
+             between: tuple[str, object, object] | None = None) -> DataFrame | None:
         """Read table state (optionally only the given buckets — manifest-
         driven pruning, no directory listing). ``version`` time-travels to
         an earlier snapshot: data files are immutable and manifests are
         append-only, so every historical version stays readable until a
-        ``vacuum`` retires it."""
+        ``vacuum`` retires it.
+
+        ``between=(col, lo, hi)`` (either bound None = open) adds a range
+        predicate served by the manifest's ZONE MAPS: files whose recorded
+        ``col`` bounds (``stats_cols`` at commit time) cannot overlap the
+        range are skipped without opening them — Iceberg-style file
+        skipping, O(pruned files) less scan at any scale — and the exact
+        row predicate still applies on the survivors (files with no
+        recorded stats are scanned, so pruning is never lossy)."""
         m = self._load_state(version)
         if m is None:
             return None
+        stats = m.get("file_stats", {})
+        jlo = jhi = col = None
+        if between is not None:
+            col, lo, hi = between
+            jlo, jhi = _stat_json(lo), _stat_json(hi)
         files: list[str] = []
         for b, fs in m["files"].items():
             if buckets is None or int(b) in buckets:
-                files.extend(str(self.root / f) for f in fs)
+                for f in fs:
+                    if between is None or _stats_overlap(
+                            stats.get(f, {}).get(col), jlo, jhi):
+                        files.append(str(self.root / f))
         if not files:
             return None
         # Direct-file reads skip hive partition discovery, so the bucket
         # column is re-derived from the keys (same deterministic hash).
         # mergeSchema: a bucket's delta generations may span schema versions
         # (merge-on-read) — union of columns, missing → null.
-        return spark.read.option("mergeSchema", "true").parquet(*files).withColumn(
+        df = spark.read.option("mergeSchema", "true").parquet(*files).withColumn(
             BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets)
         )
+        if between is not None:
+            df = self._between_filter(df, *between)
+        return df
 
     def read_live(self, spark: SparkSession, buckets: list[int] | None = None,
-                  op_col: str = "op", version: int | None = None) -> DataFrame | None:
+                  op_col: str = "op", version: int | None = None,
+                  between: tuple[str, object, object] | None = None) -> DataFrame | None:
         """Current state minus delete tombstones (the user-facing table).
 
         Merge-on-read: LWW-reduces across a bucket's delta generations.
@@ -467,23 +567,53 @@ class SnapshotTable:
         right after compaction), the plan is scan + tombstone filter with
         ZERO exchanges. Otherwise the LWW reduce shuffles once on the key;
         at 100 TB the scheduled compaction keeps most reads on the fast
-        path."""
+        path.
+
+        ``between=(col, lo, hi)`` filters on the LWW WINNER's value.
+        Zone-map file skipping applies only to SINGLE-generation buckets:
+        in a multi-generation bucket an out-of-range winner file could be
+        pruned and a stale in-range loser would wrongly survive, so those
+        buckets scan every generation and filter AFTER the reduce. Steady
+        state after compaction is all-single-generation — the pruned fast
+        path — which is exactly where the 100 TB scan savings live."""
         m = self._load_state(version)
         if m is None:
             return None
-        wanted = (b for b in m["files"] if buckets is None or int(b) in buckets)
-        single_gen = all(len(m["files"][b]) == 1 for b in wanted)
-        df = self.read(spark, buckets, version=version)
-        if df is None:
-            return None
-        df = df.drop(BUCKET_COL)
-        if not single_gen:
-            from .operators.upsert import last_writer_wins
+        from .operators.upsert import last_writer_wins
 
-            tiebreak = "event_id" if "event_id" in df.columns else "seq_no"
-            df = last_writer_wins(df, self.key_cols, tiebreak_col=tiebreak,
-                                  salted=False)
-        return df.filter(F.col(op_col) != "D")
+        def lww(d: DataFrame) -> DataFrame:
+            tiebreak = "event_id" if "event_id" in d.columns else "seq_no"
+            return last_writer_wins(d, self.key_cols, tiebreak_col=tiebreak,
+                                    salted=False)
+
+        wanted = [b for b in m["files"] if buckets is None or int(b) in buckets]
+        if between is None:
+            single_gen = all(len(m["files"][b]) == 1 for b in wanted)
+            df = self.read(spark, buckets, version=version)
+            if df is None:
+                return None
+            df = df.drop(BUCKET_COL)
+            if not single_gen:
+                df = lww(df)
+            return df.filter(F.col(op_col) != "D")
+        single = [int(b) for b in wanted if len(m["files"][b]) == 1]
+        multi = [int(b) for b in wanted if len(m["files"][b]) > 1]
+        parts: list[DataFrame] = []
+        if single:
+            d1 = self.read(spark, single, version=version, between=between)
+            if d1 is not None:  # single-generation: rows ARE the winners
+                parts.append(d1.drop(BUCKET_COL))
+        if multi:
+            d2 = self.read(spark, multi, version=version)
+            if d2 is not None:
+                parts.append(self._between_filter(
+                    lww(d2.drop(BUCKET_COL)), *between))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out.filter(F.col(op_col) != "D")
 
     def read_changes(self, spark: SparkSession, since_version: int,
                      to_version: int | None = None,
@@ -642,7 +772,8 @@ class SnapshotTable:
         new_files = self._write_bucketed(delta, f"b{batch_id:06d}", touched_buckets)
         self._publish(batch_id=batch_id, files_add=new_files,
                       watermark_seq=watermark_seq, lineage=lineage,
-                      metrics=metrics, schema_json=schema_json, offsets=offsets)
+                      metrics=metrics, schema_json=schema_json, offsets=offsets,
+                      file_stats=self._collect_file_stats(new_files))
         return True
 
     def commit_delta_auto(
@@ -745,6 +876,7 @@ class SnapshotTable:
             lineage={**(lineage or {}), "seq_min": seq_min, "seq_max": seq_max,
                      "n_keys": n_keys},
             metrics=metrics, schema_json=schema_json, offsets=offsets,
+            file_stats=self._collect_file_stats(new_files),
         )
         return {"n_keys": n_keys, "seq_min": seq_min, "seq_max": seq_max}
 
@@ -796,6 +928,7 @@ class SnapshotTable:
                       files_replace={str(b): new_files.get(str(b), []) for b in target},
                       watermark_seq=prev.get("watermark_seq", -1),
                       lineage={"compaction": True, "buckets": target},
+                      file_stats=self._collect_file_stats(new_files),
                       add_committed=False)
         return True
 
@@ -918,11 +1051,58 @@ class SnapshotTable:
                 )
         return out
 
+    def _collect_file_stats(self, new_files: dict[str, list[str]]) -> dict[str, dict]:
+        """Per-file zone maps for ``stats_cols``, read from the parquet
+        footers the write already paid for (Iceberg-manifest analogue:
+        column bounds travel with the commit, so scans can skip whole
+        files without opening them). A column is recorded for a file only
+        when EVERY non-empty row group carries usable min/max statistics —
+        partial bounds would prune incorrectly. Metadata-only local I/O,
+        parallelized driver-side like the commit's offset scan."""
+        if not self.stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(rel: str) -> tuple[str, dict]:
+            md = pq.ParquetFile(self.root / rel).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            out: dict[str, list] = {}
+            for col in self.stats_cols:
+                if col not in idx:
+                    continue
+                lo = hi = None
+                complete = True
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    if rgm.num_rows == 0:
+                        continue
+                    st = rgm.column(idx[col]).statistics
+                    if st is None or not st.has_min_max:
+                        complete = False
+                        break
+                    jlo, jhi = _stat_json(st.min), _stat_json(st.max)
+                    if jlo is None or jhi is None:
+                        complete = False  # unsupported type
+                        break
+                    lo = jlo if lo is None else min(lo, jlo)
+                    hi = jhi if hi is None else max(hi, jhi)
+                if complete and lo is not None:
+                    out[col] = [lo, hi]
+            return rel, out
+
+        rels = [f for fs in new_files.values() for f in fs]
+        if not rels:
+            return {}
+        with ThreadPoolExecutor(min(16, len(rels))) as pool:
+            return {rel: st for rel, st in pool.map(one, rels) if st}
+
     def _publish(self, *, batch_id: int, files_add: dict[str, list[str]] | None = None,
                  files_replace: dict[str, list[str]] | None = None,
                  watermark_seq: int = -1, lineage: dict | None = None,
                  metrics: dict | None = None, schema_json: str | None = None,
                  offsets: dict[int, int] | None = None,
+                 file_stats: dict[str, dict] | None = None,
                  add_committed: bool = True) -> None:
         """Publish one commit: write an O(batch) delta manifest — or, every
         ``checkpoint_every``-th version, the full checkpoint — and advance
@@ -937,6 +1117,7 @@ class SnapshotTable:
             "batch_id": batch_id,
             "files_add": {b: fs for b, fs in (files_add or {}).items() if fs},
             "files_replace": files_replace or {},
+            "file_stats": file_stats or {},
             "schema": schema_json,
             "commit": batch_id if add_committed else None,
             "watermark_seq": int(watermark_seq),
@@ -1010,6 +1191,7 @@ class SnapshotTable:
             files_replace={str(b): new_files.get(str(b), []) for b in touched_buckets},
             watermark_seq=watermark_seq, lineage=lineage, metrics=metrics,
             schema_json=schema_json, offsets=offsets,
+            file_stats=self._collect_file_stats(new_files),
         )
         return True
 

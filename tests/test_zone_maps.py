@@ -1,0 +1,142 @@
+"""Zone maps (per-file column bounds in the manifest) and stats-pruned
+scans: Iceberg-style file skipping on the snapshot table.
+
+Correctness contract under merge-on-read: ``read_live(between=...)``
+evaluates the predicate against the LWW WINNER row, so file skipping is
+applied only where it cannot change the winner (single-generation
+buckets); multi-generation buckets scan every generation and filter after
+the reduce.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from omop_meds_spark.table import (
+    BUCKET_COL,
+    SnapshotTable,
+    bucket_expr,
+    _stat_json,
+    _stats_overlap,
+)
+
+KEYS = ["repo", "path"]
+SCHEMA = "repo string, path string, seq_no long, ts long, op string"
+
+
+def _delta(spark, rows, n_buckets=4, schema=SCHEMA):
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
+
+
+def _touched(df):
+    return sorted({r[BUCKET_COL] for r in df.select(BUCKET_COL).distinct().collect()})
+
+
+def _rows(df, cols=("repo", "path", "seq_no", "ts")):
+    if df is None:
+        return set()
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_zone_map_prunes_files_on_read(spark, tmpdir_path):
+    """Three batches with disjoint ts ranges; a ranged read opens only the
+    matching batch's files and returns exactly the full-scan-filtered rows."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=4, stats_cols=["ts"])
+    for i in range(3):
+        rows = [(f"r{i}{j}", "p", i * 10 + j, i * 100 + j * 10, "U")
+                for j in range(4)]
+        d = _delta(spark, rows)
+        assert t.commit_delta(d, i, _touched(d), i * 10 + 3)
+
+    pruned = t.read(spark, between=("ts", 100, 199))
+    files = pruned.inputFiles()
+    assert files, "pruned read returned no files"
+    assert all("b000001" in f for f in files), files  # only batch 1's files
+    full = t.read(spark).filter("ts >= 100 and ts <= 199")
+    assert _rows(pruned) == _rows(full)
+    assert len(files) < len(t.read(spark).inputFiles())
+
+
+def test_read_live_between_is_winner_semantics_on_multi_gen(spark, tmpdir_path):
+    """The poison case for naive file skipping: key k's WINNER (ts=100) is
+    outside the range but a stale loser (ts=10) is inside. k must NOT
+    surface, and the multi-generation bucket must not be file-pruned."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2, stats_cols=["ts"])
+    d0 = _delta(spark, [("k", "p", 1, 10, "U"), ("j", "p", 2, 20, "U")],
+                n_buckets=2)
+    t.commit_delta(d0, 0, _touched(d0), 2)
+    d1 = _delta(spark, [("k", "p", 3, 100, "U")], n_buckets=2)
+    t.commit_delta(d1, 1, _touched(d1), 3)
+
+    got = _rows(t.read_live(spark, between=("ts", 0, 50)))
+    naive = _rows(t.read_live(spark).filter("ts >= 0 and ts <= 50"))
+    assert got == naive
+    assert ("j", "p", 2, 20) in got
+    assert not any(r[0] == "k" for r in got)
+
+
+def test_read_live_between_prunes_compacted_buckets(spark, tmpdir_path):
+    """After compaction every bucket is single-generation, so the ranged
+    live read skips whole buckets by their recorded bounds."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=4, stats_cols=["ts"])
+    d0 = _delta(spark, [("a", "p", 1, 10, "U"), ("b", "p", 2, 1000, "U")])
+    t.commit_delta(d0, 0, _touched(d0), 2)
+    d1 = _delta(spark, [("a", "p", 3, 20, "U"), ("b", "p", 4, 2000, "U")])
+    t.commit_delta(d1, 1, _touched(d1), 4)
+    ba, bb = _touched(_delta(spark, [("a", "p", 0, 0, "U")]))[0], \
+        _touched(_delta(spark, [("b", "p", 0, 0, "U")]))[0]
+    assert ba != bb, "fixture needs the two keys in distinct buckets"
+    assert t.compact(spark)
+
+    live = t.read_live(spark, between=("ts", 0, 100))
+    assert _rows(live) == {("a", "p", 3, 20)}
+    files = live.inputFiles()
+    assert len(files) == 1, files  # b's bucket file skipped entirely
+
+
+def test_stats_survive_checkpoint_vacuum_and_reopen(spark, tmpdir_path):
+    """Zone maps are table state: they ride checkpoints, are pruned to the
+    live file set by compaction/vacuum, and a fresh process sees them."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=4, checkpoint_every=2,
+                      stats_cols=["ts"])
+    for i in range(5):
+        d = _delta(spark, [(f"k{i}", "p", i, i * 100, "U")])
+        t.commit_delta(d, i, _touched(d), i)
+    assert t.compact(spark)
+    t.vacuum(keep_versions=2)
+    t.release_writer()
+
+    t2 = SnapshotTable(tmpdir_path, KEYS)  # stats_cols adopted from _table.json
+    assert t2.stats_cols == ["ts"]
+    m = t2.latest()
+    live = {f for fs in m["files"].values() for f in fs}
+    assert set(m["file_stats"]) == live  # exactly the live files, no strays
+    got = _rows(t2.read(spark, between=("ts", 200, 300)))
+    assert got == {("k2", "p", 2, 200), ("k3", "p", 3, 300)}
+
+
+def test_datetime_zone_maps(spark, tmpdir_path):
+    """Timestamp columns encode to ISO strings (order-preserving), so
+    datetime bounds prune files and the row filter matches exactly."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=4, stats_cols=["at"])
+    schema = "repo string, path string, seq_no long, at timestamp, op string"
+    base = dt.datetime(2024, 1, 1)
+    for i in range(3):
+        rows = [(f"r{i}{j}", "p", i * 10 + j,
+                 base + dt.timedelta(days=30 * i, hours=j), "U")
+                for j in range(3)]
+        d = _delta(spark, rows, schema=schema)
+        t.commit_delta(d, i, _touched(d), i * 10 + 2)
+
+    lo, hi = base + dt.timedelta(days=29), base + dt.timedelta(days=32)
+    pruned = t.read(spark, between=("at", lo, hi))
+    assert all("b000001" in f for f in pruned.inputFiles())
+    assert {r["repo"] for r in pruned.collect()} == {"r10", "r11", "r12"}
+
+
+def test_stat_helpers_edge_cases():
+    assert _stat_json(True) is None  # booleans record no zone map
+    assert _stats_overlap([5, 5], 5, 5)
+    assert not _stats_overlap([5, 5], 6, None)
+    assert _stats_overlap({}, 0, 1)  # no stats recorded: never prune
