@@ -231,6 +231,24 @@ SELECT user_id, event_id,
 FROM f
 """
 
+# the incremental fold must land on exactly the full recompute over the
+# final live state: LWW winner per user over the WHOLE stream, tombstones
+# out, grouped by the winner's event_type — sums in DECIMAL, cast at the edge
+ORACLES["incremental_agg_view"] = """
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS seq_no, event_id, event_type, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY seq_no DESC, event_id DESC) AS rn
+  FROM src)
+SELECT event_type, COUNT(*) AS n_rows,
+       (SUM(value::DECIMAL(18,4)))::DOUBLE AS sum_value
+FROM w WHERE rn = 1 AND op <> 'D'
+GROUP BY event_type
+"""
+
 ORACLES["rollup_order_stats"] = """
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,

@@ -173,6 +173,47 @@ def cdc_change_feed(spark, sf_dir):
     )
 
 
+def incremental_agg_view(spark, sf_dir):
+    """Materialized GROUP BY, maintained INCREMENTALLY from the change
+    feed through the real table API: events replay into a SnapshotTable as
+    three CDC batches (event_id mod 3), and after each commit
+    ``IncrementalAggView.refresh`` folds only that commit's changed keys
+    into a per-event-type (count, sum) view. The oracle is the full
+    recompute over the final live state — the fold must land on exactly
+    that, including LWW winners decided across fold boundaries. Sums are
+    DECIMAL inside the view (exact, order-free) and cast to double at the
+    edge. Temp tables leak to /tmp for the lazy read (OS-reaped)."""
+    import tempfile
+
+    from .operators.incremental import IncrementalAggView
+    from .table import SnapshotTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn("seq_no", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("event_id", "seq_no", "user_id", "event_type", "value", "op")
+    )
+    root = tempfile.mkdtemp(prefix="cdc_mv_")
+    tbl = SnapshotTable(f"{root}/src", ["user_id"], n_buckets=8)
+    view = IncrementalAggView(f"{root}/view", tbl, dims=["event_type"],
+                              sum_cols=["value"], n_buckets=4)
+    for b in (0, 1, 2):
+        winners = last_writer_wins(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == b), ["user_id"]
+        )
+        tbl.commit_delta_auto(winners, b)
+        view.refresh(spark)
+    out = view.read(spark)
+    return out.select(
+        "event_type", "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 def dedup_earliest(spark, sf_dir):
     """A1 exact reference semantics (earliest-wins, window variant):
     first order per customer by (o_orderdate, o_orderkey)."""
@@ -790,6 +831,7 @@ ALL_QUERIES = {
     "json_extract_props": json_extract_props,
     "windowed_event_counts": windowed_event_counts,
     "sessionize": sessionize,
+    "incremental_agg_view": incremental_agg_view,
     "rollup_order_stats": rollup_order_stats,
     "top_orders_per_priority": top_orders_per_priority,
     "median_quantity_by_flag": median_quantity_by_flag,
