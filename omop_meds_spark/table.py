@@ -889,7 +889,8 @@ class SnapshotTable:
         return sorted(int(b) for b, fs in m["files"].items() if len(fs) >= threshold)
 
     def compact(self, spark: SparkSession, key_reduce=None,
-                buckets: list[int] | None = None) -> bool:
+                buckets: list[int] | None = None,
+                cluster_by: list[str] | None = None) -> bool:
         """Fold a bucket's delta generations into one (LWW-reduced,
         tombstones retained). ``buckets=None`` compacts the whole table;
         passing ``hot_buckets(threshold)`` makes compaction INCREMENTAL —
@@ -899,7 +900,16 @@ class SnapshotTable:
         buckets). At 100 TB with 16k buckets a single hot bucket compacts
         alone in seconds rather than forcing a full-table rewrite.
         ``key_reduce(df) -> df`` defaults to the engine's LWW kernel.
-        No-op on an empty table or empty bucket list."""
+        No-op on an empty table or empty bucket list.
+
+        ``cluster_by`` sorts each bucket's rows by the given columns before
+        the write (Delta OPTIMIZE ZORDER's 1-D analogue): the bucket file's
+        parquet ROW GROUPS then carry tight, non-overlapping min/max bounds
+        on those columns, so any later ranged read (``between=`` or a plain
+        pushed-down range filter) skips whole row groups inside the file —
+        the intra-file complement to the manifest's per-file zone maps.
+        Sorting happens within the already-bucketed partitions (no extra
+        exchange beyond compaction's own repartition)."""
         prev = self._load_state()
         if prev is None:
             return False
@@ -921,13 +931,16 @@ class SnapshotTable:
             BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets)
         )
         tag = f"compact{prev['version'] + 1:06d}"
-        new_files = self._write_bucketed(
-            reduced.repartition(max(len(target), 1), F.col(BUCKET_COL)), tag, target
-        )
+        reduced = reduced.repartition(max(len(target), 1), F.col(BUCKET_COL))
+        if cluster_by:
+            reduced = reduced.sortWithinPartitions(
+                BUCKET_COL, *[F.col(c) for c in cluster_by])
+        new_files = self._write_bucketed(reduced, tag, target)
         self._publish(batch_id=prev["batch_id"],
                       files_replace={str(b): new_files.get(str(b), []) for b in target},
                       watermark_seq=prev.get("watermark_seq", -1),
-                      lineage={"compaction": True, "buckets": target},
+                      lineage={"compaction": True, "buckets": target,
+                               **({"cluster_by": cluster_by} if cluster_by else {})},
                       file_stats=self._collect_file_stats(new_files),
                       add_committed=False)
         return True

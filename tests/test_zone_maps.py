@@ -135,6 +135,39 @@ def test_datetime_zone_maps(spark, tmpdir_path):
     assert {r["repo"] for r in pruned.collect()} == {"r10", "r11", "r12"}
 
 
+def test_clustered_compaction_sorts_rows_for_row_group_pruning(spark, tmpdir_path):
+    """compact(cluster_by=...) must physically order each bucket file by
+    the cluster columns — that ordering is what makes parquet row-group
+    min/max bounds non-overlapping, so pushed-down range filters skip row
+    groups inside the file. Live rows are unchanged."""
+    import pyarrow.parquet as pq
+
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2, stats_cols=["ts"])
+    rng_rows = [(f"k{i}", "p", i, (i * 7919) % 1000, "U") for i in range(300)]
+    for half, bid in ((rng_rows[:150], 0), (rng_rows[150:], 1)):
+        d = _delta(spark, half, n_buckets=2)
+        t.commit_delta(d, bid, _touched(d), max(r[2] for r in half))
+    before = _rows(t.read_live(spark))
+
+    assert t.compact(spark, cluster_by=["ts"])
+    assert _rows(t.read_live(spark)) == before
+    m = t.latest()
+    for fs in m["files"].values():
+        assert len(fs) == 1  # one-file-per-bucket invariant intact
+        tbl = pq.read_table(str(t.root / fs[0]), columns=["ts"])
+        ts = tbl.column("ts").to_pylist()
+        assert ts == sorted(ts), "bucket file not clustered by ts"
+        md = pq.ParquetFile(str(t.root / fs[0])).metadata
+        if md.num_row_groups > 1:  # bounds must then be non-overlapping
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}["ts"]
+            bounds = [(md.row_group(g).column(idx).statistics.min,
+                       md.row_group(g).column(idx).statistics.max)
+                      for g in range(md.num_row_groups)]
+            assert all(bounds[g][1] <= bounds[g + 1][0]
+                       for g in range(len(bounds) - 1))
+
+
 def test_stat_helpers_edge_cases():
     assert _stat_json(True) is None  # booleans record no zone map
     assert _stats_overlap([5, 5], 5, 5)
