@@ -53,7 +53,10 @@ _DEC = "decimal(28,4)"
 class IncrementalAggView:
     def __init__(self, root: str | Path, source: SnapshotTable,
                  dims: list[str], sum_cols: list[str] | None = None,
-                 n_buckets: int = 16):
+                 n_buckets: int | None = None):
+        # n_buckets=None adopts an existing view table's stored bucket
+        # layout (fresh views default to the SnapshotTable default) — a
+        # re-opened view must never re-stamp the layout
         self.source = source
         self.dims = list(dims)
         self.sum_cols = list(sum_cols or [])

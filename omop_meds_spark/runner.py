@@ -146,10 +146,18 @@ class CDCRunner:
         compact_every: int = 8,
         dedup: bool = False,
         adaptive: bool = False,
+        views: list | None = None,
     ):
         self.spark = spark
         self.salted = salted
         self.dedup = dedup
+        # opt-in incremental materialized views (operators/incremental.py)
+        # over the STATE table: refreshed after each committed batch and
+        # once more at the end of run(). Zero cost when empty (the bench
+        # default). A crash between the batch commit and the refresh is
+        # self-healing — the view's cursor folds everything unconsumed on
+        # the next refresh.
+        self.views = list(views or [])
         # AQE is OFF inside apply_batch by default (restored after): the
         # micro-batch plan shape is fixed and pre-sized (scan → one keyed
         # LWW shuffle → project → bucketed write; partition counts chosen
@@ -260,6 +268,8 @@ class CDCRunner:
                 hot = t.hot_buckets(self.compact_every)
                 if hot:
                     t.compact(self.spark, buckets=hot)
+            for v in self.views:
+                v.refresh(self.spark)
         finally:
             winners.unpersist()
         wall = time.monotonic() - t0
@@ -281,6 +291,10 @@ class CDCRunner:
             m = self.apply_batch(batch)
             if m is not None:
                 out.append(m)
+        # catch-up fold: heals a crash after the last commit but before its
+        # refresh, and a resume that skipped every batch as committed
+        for v in self.views:
+            v.refresh(self.spark)
         return out
 
     # ------------------------------------------------------------ queries

@@ -107,6 +107,46 @@ def test_all_null_measure_group_reads_null_sum(spark, tmpdir_path):
     assert _view_rows(spark, view) == {("g", 2, 5.0)}
 
 
+def test_runner_maintains_view_across_resume(spark, tmpdir_path):
+    """The CDC runner refreshes attached views per committed batch; a
+    second runner (fresh table handles, resume path — every batch already
+    committed) leaves the view identical, and the view matches a full
+    recompute over the final live state."""
+    from omop_meds_spark.runner import CDCRunner
+    from omop_meds_spark.sources.gen import generate_wal
+
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=4000, n_repos=8, paths_per_repo=20,
+                 n_files=6, seed=11)
+    r = CDCRunner(spark, wal, f"{tmpdir_path}/t", n_buckets=8,
+                  files_per_batch=2)
+    view = IncrementalAggView(f"{tmpdir_path}/mv", r.table, dims=["lang"],
+                              sum_cols=["token_count"], n_buckets=4)
+    r.views.append(view)
+    assert r.run()
+
+    def rows():
+        return {(x["lang"], x["n_rows"],
+                 None if x["sum_token_count"] is None else float(x["sum_token_count"]))
+                for x in view.read(spark).collect()}
+
+    expect = {(x["lang"], x["n_rows"],
+               None if x["s"] is None else float(x["s"]))
+              for x in r.final_state().groupBy("lang").agg(
+                  F.count("*").alias("n_rows"),
+                  F.sum(F.col("token_count").cast("decimal(18,4)")).alias("s"))
+              .collect()}
+    got = rows()
+    assert got == expect
+    # resume: a fresh runner with the same view attached is a no-op
+    r2 = CDCRunner(spark, wal, f"{tmpdir_path}/t", n_buckets=8,
+                   files_per_batch=2)
+    r2.views.append(IncrementalAggView(f"{tmpdir_path}/mv", r2.table,
+                                       dims=["lang"], sum_cols=["token_count"]))
+    assert r2.run() == []
+    assert rows() == got
+
+
 def test_out_of_range_winner_poison_case(spark, tmpdir_path):
     """k's commit-1 row (seq 100) stays the LWW winner even after commit 2
     touches k with a LOWER seq (late/duplicate delivery). The view must
