@@ -72,6 +72,17 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", required=True)
     v.add_argument("--keep-versions", type=int, default=2)
 
+    mv = sub.add_parser(
+        "view", help="create/refresh an incremental materialized aggregate "
+                     "view over the table's change feed")
+    mv.add_argument("--table", required=True, help="source CDC table root")
+    mv.add_argument("--out", required=True, help="view table root")
+    mv.add_argument("--dims", required=True,
+                    help="comma-separated group-by columns")
+    mv.add_argument("--sum", default="",
+                    help="comma-separated measure columns (SUM), optional")
+    mv.add_argument("--cores", type=int, default=None)
+
     fz = sub.add_parser("finalize", help="write metadata/{dataset.json,codes,subject_splits}")
     fz.add_argument("--table", required=True, help="CDC table root (reads the live MEDS target)")
     fz.add_argument("--out", required=True)
@@ -123,6 +134,26 @@ def main(argv: list[str] | None = None) -> int:
         hot = t.hot_buckets(args.threshold)
         done = t.compact(spark, buckets=hot) if hot else False
         print(json.dumps({"compacted_buckets": hot if done else []}))
+        return 0
+
+    if args.cmd == "view":
+        from .operators.incremental import IncrementalAggView
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        spark = _session(args.cores)
+        src = SnapshotTable(args.table, KEY_COLS)
+        view = IncrementalAggView(
+            args.out, src, dims=args.dims.split(","),
+            sum_cols=[c for c in args.sum.split(",") if c])
+        before = view.cursor
+        refreshed = view.refresh(spark)
+        out = view.read(spark)
+        print(json.dumps({
+            "refreshed": bool(refreshed),
+            "cursor": {"before": before, "after": view.cursor},
+            "groups": (out.count() if out is not None else 0),
+        }))
         return 0
 
     if args.cmd == "finalize":

@@ -104,75 +104,107 @@ class IncrementalAggView:
         """Fold source versions ``(cursor, to_version]`` into the view.
         Returns False when there is nothing new. Idempotent: re-running
         with the same range is a no-op (cursor check + transactional
-        commit)."""
+        commit).
+
+        Initial materialization over a table whose early history was
+        vacuumed BOOTSTRAPS from the live state instead of the change feed
+        (an initial load needs no history). A vacuumed hole PAST the
+        cursor, however, is unrecoverable incrementally and raises —
+        refresh before vacuuming the source beyond the cursor, exactly
+        like any change-feed consumer."""
         src = self.source
-        v1 = src.version if to_version is None else to_version
+        head = src.version
+        v1 = head if to_version is None else to_version
+        if v1 > head:
+            raise ValueError(f"refresh: to_version {v1} is beyond source head {head}")
         v0 = self.cursor
         if v1 <= v0:
             return False
         batch_id = max(self.table.committed_batches(), default=-1) + 1
         lineage = {"source_version": v1, "since_version": v0}
 
-        ch = src.read_changes(spark, since_version=v0, to_version=v1)
-        if ch is None:  # compaction-only range: advance the cursor
-            self.table.commit_delta_auto(
-                self._empty_commit_frame(spark), batch_id, lineage=lineage)
-            return True
-        keys = ch.select(*src.key_cols).distinct()
-        src_buckets = sorted(
-            r["b"] for r in keys.select(
-                bucket_expr(src.key_cols, src.n_buckets).alias("b"))
-            .distinct().collect())
-
-        new = self._changed_key_state(spark, v1, src_buckets, keys)
-        old = self._changed_key_state(spark, v0, src_buckets, keys)
-        parts = [self._signed(d, s) for d, s in ((new, 1), (old, -1))
-                 if d is not None]
+        try:
+            ch = src.read_changes(spark, since_version=v0, to_version=v1)
+            bootstrap = False
+        except ValueError:
+            if v0 >= 0:
+                raise  # incremental hole: the feed between folds was vacuumed
+            ch, bootstrap = None, True
+        keys = None
+        if bootstrap:
+            new = src.read_live(spark, version=v1)
+            parts = [] if new is None else [self._signed(new, 1)]
+        elif ch is None:
+            parts = []  # compaction-only range: just advance the cursor
+        else:
+            # keys feed both state reads; persist so the feed scans once
+            keys = ch.select(*src.key_cols).distinct().persist()
+            src_buckets = sorted(
+                r["b"] for r in keys.select(
+                    bucket_expr(src.key_cols, src.n_buckets).alias("b"))
+                .distinct().collect())
+            new = self._changed_key_state(spark, v1, src_buckets, keys)
+            old = self._changed_key_state(spark, v0, src_buckets, keys)
+            parts = [self._signed(d, s) for d, s in ((new, 1), (old, -1))
+                     if d is not None]
         if not parts:
+            # carry the recorded schema forward: an empty fold must not
+            # re-stamp the view's key column types (point lookups hash by
+            # the stored schema — see table.key_bucket)
             self.table.commit_delta_auto(
-                self._empty_commit_frame(spark), batch_id, lineage=lineage)
+                self._empty_commit_frame(spark), batch_id, lineage=lineage,
+                schema_json=(self.table.latest() or {}).get("schema"))
             return True
         signed = functools.reduce(lambda a, b: a.unionByName(b), parts)
-        delta = self._agg(signed)
-
-        # merge into the view's current rows for the affected dims only:
-        # manifest-pruned read of the delta's buckets, null-safe semi join
-        # down to the changed dim groups, then a full outer with the delta
-        # (renamed columns — no alias ambiguity, nulls are real groups)
-        vbs = sorted(
-            r["b"] for r in delta.select(
-                bucket_expr(self.dims, self.table.n_buckets).alias("b"))
-            .distinct().collect())
-        cur = self.table.read_live(spark, buckets=vbs)
-        mtypes = self._measure_types()
-        if cur is not None:
-            cur_r = cur.select(
-                *[F.col(k).alias(f"_c_{k}") for k in self.dims],
-                *[F.col(n).alias(f"_c_{n}") for n, _ in mtypes])
-            dimkeys = delta.select(
-                *[F.col(k).alias(f"_k_{k}") for k in self.dims]).distinct()
-            semi = functools.reduce(operator.and_, [
-                F.col(f"_c_{k}").eqNullSafe(F.col(f"_k_{k}")) for k in self.dims])
-            cur_r = cur_r.join(dimkeys, semi, "left_semi")
-            outer = functools.reduce(operator.and_, [
-                F.col(k).eqNullSafe(F.col(f"_c_{k}")) for k in self.dims])
-            j = delta.join(cur_r, outer, "full_outer")
-            out_dims = [F.coalesce(F.col(k), F.col(f"_c_{k}")).alias(k)
-                        for k in self.dims]
-            measures = [
-                (F.coalesce(F.col(n), F.lit(0).cast(t))
-                 + F.coalesce(F.col(f"_c_{n}"), F.lit(0).cast(t)))
-                .cast(t).alias(n)
-                for n, t in mtypes]
-        else:
-            j = delta
-            out_dims = [F.col(k) for k in self.dims]
-            measures = [F.coalesce(F.col(n), F.lit(0).cast(t)).cast(t).alias(n)
-                        for n, t in mtypes]
-        merged = j.select(*out_dims, *measures).withColumn(
-            "op", F.when(F.col("n_rows") == 0, F.lit("D")).otherwise(F.lit("U"))
-        ).withColumn("seq_no", F.lit(v1).cast("long"))
-        self.table.commit_delta_auto(merged, batch_id, lineage=lineage)
+        # delta drives the bucket-id collect AND the merge write — persist
+        # so its O(changed-bucket state) upstream computes once
+        delta = self._agg(signed).persist()
+        try:
+            # merge into the view's current rows for the affected dims only:
+            # manifest-pruned read of the delta's buckets, null-safe semi
+            # join down to the changed dim groups, then a full outer with
+            # the delta (renamed columns — no alias ambiguity, nulls are
+            # real groups)
+            vbs = sorted(
+                r["b"] for r in delta.select(
+                    bucket_expr(self.dims, self.table.n_buckets).alias("b"))
+                .distinct().collect())
+            cur = self.table.read_live(spark, buckets=vbs)
+            mtypes = self._measure_types()
+            if cur is not None:
+                cur_r = cur.select(
+                    *[F.col(k).alias(f"_c_{k}") for k in self.dims],
+                    *[F.col(n).alias(f"_c_{n}") for n, _ in mtypes])
+                dimkeys = delta.select(
+                    *[F.col(k).alias(f"_k_{k}") for k in self.dims]).distinct()
+                semi = functools.reduce(operator.and_, [
+                    F.col(f"_c_{k}").eqNullSafe(F.col(f"_k_{k}"))
+                    for k in self.dims])
+                cur_r = cur_r.join(dimkeys, semi, "left_semi")
+                outer = functools.reduce(operator.and_, [
+                    F.col(k).eqNullSafe(F.col(f"_c_{k}")) for k in self.dims])
+                j = delta.join(cur_r, outer, "full_outer")
+                out_dims = [F.coalesce(F.col(k), F.col(f"_c_{k}")).alias(k)
+                            for k in self.dims]
+                measures = [
+                    (F.coalesce(F.col(n), F.lit(0).cast(t))
+                     + F.coalesce(F.col(f"_c_{n}"), F.lit(0).cast(t)))
+                    .cast(t).alias(n)
+                    for n, t in mtypes]
+            else:
+                j = delta
+                out_dims = [F.col(k) for k in self.dims]
+                measures = [F.coalesce(F.col(n), F.lit(0).cast(t))
+                            .cast(t).alias(n) for n, t in mtypes]
+            merged = j.select(*out_dims, *measures).withColumn(
+                "op",
+                F.when(F.col("n_rows") == 0, F.lit("D")).otherwise(F.lit("U"))
+            ).withColumn("seq_no", F.lit(v1).cast("long"))
+            self.table.commit_delta_auto(merged, batch_id, lineage=lineage)
+        finally:
+            delta.unpersist()
+            if keys is not None:
+                keys.unpersist()
         return True
 
     def _measure_types(self) -> list[tuple[str, str]]:

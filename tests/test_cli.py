@@ -24,6 +24,16 @@ def test_cli_full_lifecycle(spark, tmpdir_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["batches_applied"] == 2 and rep["final_keys"] > 0
 
+    mv = f"{tmpdir_path}/mv"
+    assert main(["view", "--table", tbl, "--out", mv, "--dims", "lang",
+                 "--sum", "token_count", "--cores", "8"]) == 0
+    v1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v1["refreshed"] and v1["groups"] > 0
+    assert main(["view", "--table", tbl, "--out", mv, "--dims", "lang",
+                 "--sum", "token_count", "--cores", "8"]) == 0
+    v2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not v2["refreshed"] and v2["groups"] == v1["groups"]  # no-op
+
     assert main(["compact", "--table", tbl, "--cores", "8"]) == 0
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(comp["compacted_buckets"]) > 0
@@ -31,6 +41,12 @@ def test_cli_full_lifecycle(spark, tmpdir_path, capsys):
     assert main(["vacuum", "--table", tbl, "--keep-versions", "1"]) == 0
     vac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert vac["deleted_files"] > 0
+
+    # a NEW view over the vacuumed table bootstraps from live state
+    assert main(["view", "--table", tbl, "--out", f"{tmpdir_path}/mv2",
+                 "--dims", "lang", "--cores", "8"]) == 0
+    v3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v3["refreshed"] and v3["groups"] == v1["groups"]
 
     assert main(["finalize", "--table", tbl, "--out", out, "--cores", "8"]) == 0
     fin = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
