@@ -26,8 +26,10 @@ for determinism, pre_meds_data_loader.py:89,270).
 
 from __future__ import annotations
 
+import concurrent.futures
 import hashlib
 import json
+import os
 from pathlib import Path
 
 import numpy as np
@@ -52,6 +54,44 @@ def _content(repo_i: np.ndarray, path_i: np.ndarray, seq: np.ndarray) -> list[st
     ]
 
 
+def _write_wal_file(task: tuple) -> dict:
+    """Materialize one WAL file from its (repo_i, path_i, seq, op) row slice.
+
+    The per-row payload columns (content, commit sha, event_id, size) are
+    pure functions of those inputs, so each file can be built independently
+    — in a worker process for big WALs — with byte-identical output to the
+    old single-pass writer (same values, same column order, same parquet
+    writer settings)."""
+    fp, repo_i, path_i, seq, op, add_at, ren_at, row_group_size = task
+    repo = np.char.add("repo_", repo_i.astype(str))
+    path = np.char.add(np.char.add("src/f", path_i.astype(str)), ".src")
+    lang = np.array(LANGS, dtype=object)[(repo_i * 13 + path_i) % len(LANGS)]
+    content = _content(repo_i, path_i, seq)
+    commit = [hashlib.sha1(f"{r}|{p}|{s}".encode()).hexdigest()[:12]
+              for r, p, s in zip(repo.tolist(), path.tolist(), seq.tolist())]
+    event_id = np.char.add("e", np.char.zfill(seq.astype(str), 12))
+    max_seq = int(seq.max())
+    data = {
+        "seq_no": seq,
+        "event_id": event_id.astype(object),
+        "op": op,
+        "repo": repo.astype(object),
+        "path": path.astype(object),
+        "commit": np.array(commit, dtype=object),
+        "lang": lang,
+        "content": np.array(content, dtype=object),
+    }
+    if max_seq >= add_at:
+        data["size_bytes"] = np.array([len(c) for c in content], dtype=np.int64)
+    if max_seq >= ren_at:
+        data["language"] = data.pop("lang")  # renamed column from here on
+    table = pa.table(data)
+    # small row groups keep scan parallelism ≥ cores even when a batch
+    # spans few files (row group = Spark's split granularity for parquet)
+    pq.write_table(table, fp, row_group_size=row_group_size)
+    return {"file": Path(fp).name, "rows": len(seq), "max_seq": max_seq}
+
+
 def generate_wal(
     out_dir: str | Path,
     n_events: int = 100_000,
@@ -63,8 +103,15 @@ def generate_wal(
     dup_frac: float = 0.01,
     delete_frac: float = 0.08,
     row_group_size: int = 16_000,
+    workers: int | None = None,
 ) -> dict:
-    """Write a deterministic WAL to ``out_dir``; returns a manifest dict."""
+    """Write a deterministic WAL to ``out_dir``; returns a manifest dict.
+
+    ``workers``: processes for per-file payload generation (the only
+    per-row Python in the generator). Default: serial below 1M events,
+    else ``min(16, cpus)``. Output bytes are identical at any worker
+    count — all randomness is drawn in the parent before the fan-out.
+    """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -80,27 +127,7 @@ def generate_wal(
     # first event for a key is logically an insert; mark a plain 'I' for ~the
     # earliest ops (engine treats I and U identically: upsert)
     op[seq < n_events // 10] = np.where(op[seq < n_events // 10] == "D", "D", "I")
-
-    repo = np.char.add("repo_", repo_i.astype(str))
-    path = np.char.add(np.char.add("src/f", path_i.astype(str)), ".src")
-    lang = np.array(LANGS, dtype=object)[(repo_i * 13 + path_i) % len(LANGS)]
-    content = _content(repo_i, path_i, seq)
-    commit = [hashlib.sha1(f"{r}|{p}|{s}".encode()).hexdigest()[:12]
-              for r, p, s in zip(repo.tolist(), path.tolist(), seq.tolist())]
-    event_id = np.char.add("e", np.char.zfill(seq.astype(str), 12))
-    size_bytes = np.array([len(c) for c in content], dtype=np.int64)
-
-    cols = {
-        "seq_no": seq,
-        "event_id": event_id.astype(object),
-        "op": op.astype(object),
-        "repo": repo.astype(object),
-        "path": path.astype(object),
-        "commit": np.array(commit, dtype=object),
-        "lang": lang,
-        "content": np.array(content, dtype=object),
-        "size_bytes": size_bytes,
-    }
+    op_obj = op.astype(object)
 
     # duplicate deliveries: re-emit ~dup_frac of events (same event_id/seq).
     # A dup lands in the next WAL file; restrict candidates so original and
@@ -127,29 +154,28 @@ def generate_wal(
     jitter = rng.random(len(order))
     emit_order = np.lexsort((jitter, file_of))
 
-    files = []
     add_at = int(n_events * ADD_COL_AT)
     ren_at = int(n_events * RENAME_AT)
+    # emit_order is lexsorted with file_of as the primary key, so each
+    # file's rows are one contiguous run — slice by searchsorted bounds
+    fo_sorted = file_of[emit_order]
+    bounds = np.searchsorted(fo_sorted, np.arange(n_files + 1))
+    tasks = []
     for f_idx in range(n_files):
-        sel = emit_order[file_of[emit_order] == f_idx]
-        rows = order[sel]
+        rows = order[emit_order[bounds[f_idx]:bounds[f_idx + 1]]]
         if len(rows) == 0:
             continue
-        batch = {k: v[rows] if isinstance(v, np.ndarray) else np.array(v, dtype=object)[rows]
-                 for k, v in cols.items()}
-        max_seq = int(batch["seq_no"].max())
-        names = ["seq_no", "event_id", "op", "repo", "path", "commit", "lang", "content"]
-        if max_seq >= add_at:
-            names.append("size_bytes")
-        data = {n: batch[n] for n in names}
-        if max_seq >= ren_at:
-            data["language"] = data.pop("lang")  # renamed column from here on
-        table = pa.table(data)
-        fp = out / f"{f_idx:06d}.parquet"
-        # small row groups keep scan parallelism ≥ cores even when a batch
-        # spans few files (row group = Spark's split granularity for parquet)
-        pq.write_table(table, fp, row_group_size=row_group_size)
-        files.append({"file": fp.name, "rows": len(rows), "max_seq": max_seq})
+        tasks.append((str(out / f"{f_idx:06d}.parquet"),
+                      repo_i[rows], path_i[rows], seq[rows], op_obj[rows],
+                      add_at, ren_at, row_group_size))
+    if workers is None:
+        workers = 1 if n_events < 1_000_000 else min(16, os.cpu_count() or 1)
+    if workers <= 1 or len(tasks) <= 1:
+        files = [_write_wal_file(t) for t in tasks]
+    else:
+        with concurrent.futures.ProcessPoolExecutor(
+                max_workers=min(workers, len(tasks))) as ex:
+            files = list(ex.map(_write_wal_file, tasks))
 
     manifest = {
         "n_events": n_events,

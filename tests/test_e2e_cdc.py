@@ -229,3 +229,24 @@ def test_resume_after_vacuum(spark, tmpdir_path):
     assert fp == _oracle_fp(wal)
     # replaying the whole WAL once more after the vacuum stays a no-op
     assert r2.run() == []
+
+
+def test_generate_wal_worker_count_invariant(tmpdir_path):
+    """The WAL generator must emit byte-identical files at any parallelism:
+    all randomness is drawn in the parent before the per-file fan-out, and
+    every payload column is a pure function of (repo_i, path_i, seq_no).
+    (Spark-free; guards the parallel generation path used for the 12M-event
+    bench WAL.)"""
+    import hashlib
+    from pathlib import Path
+
+    def fingerprint(d):
+        return {f.name: hashlib.sha256(f.read_bytes()).hexdigest()
+                for f in sorted(Path(d).glob("*.parquet"))}
+
+    kw = dict(n_events=5000, n_repos=8, paths_per_repo=20, n_files=5, seed=97)
+    m1 = generate_wal(f"{tmpdir_path}/w1", workers=1, **kw)
+    m4 = generate_wal(f"{tmpdir_path}/w4", workers=4, **kw)
+    assert m1["files"] == m4["files"]
+    f1, f4 = fingerprint(f"{tmpdir_path}/w1"), fingerprint(f"{tmpdir_path}/w4")
+    assert f1 == f4 and len(f1) == 5
