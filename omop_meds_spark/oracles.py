@@ -78,6 +78,26 @@ SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
 FROM w WHERE rn = 1 AND op <> 'D'
 """
 
+ORACLES["merge_into_docs"] = """
+WITH t AS (SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id < 400),
+     s AS (SELECT doc_id, lang, 'recrawl' AS source,
+                  n_chars + (doc_id % 7) AS n_chars
+           FROM documents WHERE doc_id >= 200)
+SELECT t.doc_id, t.lang,
+       CASE WHEN s.doc_id IS NOT NULL AND s.n_chars % 5 <> 0
+                 AND s.n_chars > t.n_chars
+            THEN s.source ELSE t.source END AS source,
+       CASE WHEN s.doc_id IS NOT NULL AND s.n_chars % 5 <> 0
+                 AND s.n_chars > t.n_chars
+            THEN s.n_chars ELSE t.n_chars END AS n_chars
+FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+WHERE s.doc_id IS NULL OR s.n_chars % 5 <> 0
+UNION ALL
+SELECT s.doc_id, s.lang, s.source, s.n_chars
+FROM s LEFT JOIN t ON s.doc_id = t.doc_id
+WHERE t.doc_id IS NULL
+"""
+
 ORACLES["cdc_change_feed"] = """
 WITH src AS (
   SELECT user_id, epoch_us(ts) AS seq_no, event_type,

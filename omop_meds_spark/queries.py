@@ -136,6 +136,32 @@ def cdc_apply_events(spark, sf_dir):
     )
 
 
+def merge_into_docs(spark, sf_dir):
+    """General conditional MERGE INTO (ANSI three-branch semantics,
+    operators/merge.py) over a simulated recrawl: target = stored corpus
+    (doc_id < 400), source = fresh crawl of doc_id >= 200 with recomputed
+    sizes. Matched docs whose new size lands on a junk boundary are
+    DELETEd, grown docs UPDATEd, others kept; unseen docs INSERTed;
+    untouched target rows pass through. Plan: ONE full-outer hash join +
+    projection — no window, no second exchange."""
+    from .operators.merge import merge_into
+
+    docs = t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") < 400).select(
+        "doc_id", "lang", "source", "n_chars")
+    source = docs.filter(F.col("doc_id") >= 200).select(
+        "doc_id", "lang",
+        F.lit("recrawl").alias("source"),
+        (F.col("n_chars") + F.col("doc_id") % 7).cast("long").alias("n_chars"))
+    return merge_into(
+        target, source, ["doc_id"],
+        matched_delete=(F.col("s.n_chars") % 5) == 0,
+        matched_update=F.col("s.n_chars") > F.col("t.n_chars"),
+        update_set={"n_chars": F.col("s.n_chars"),
+                    "source": F.col("s.source")},
+    )
+
+
 def cdc_change_feed(spark, sf_dir):
     """Incremental change feed, driven through the REAL table API: events
     replayed into a SnapshotTable as two CDC batches (event_id-parity
@@ -817,6 +843,7 @@ ALL_QUERIES = {
     "cdc_upsert_latest": cdc_upsert_latest,
     "cdc_apply_events": cdc_apply_events,
     "cdc_change_feed": cdc_change_feed,
+    "merge_into_docs": merge_into_docs,
     "dedup_earliest": dedup_earliest,
     "semi_join_cohort": semi_join_cohort,
     "skew_salted_join": skew_salted_join,
