@@ -72,6 +72,14 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", required=True)
     v.add_argument("--keep-versions", type=int, default=2)
 
+    rb = sub.add_parser(
+        "rebucket", help="transactionally change the table's bucket count "
+                         "(one full LWW rewrite; layout flips at the commit)")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--buckets", type=int, required=True,
+                    help="new bucket count (e.g. grow 32 -> 1024 as the table grows)")
+    rb.add_argument("--cores", type=int, default=None)
+
     mv = sub.add_parser(
         "view", help="create/refresh an incremental materialized aggregate "
                      "view over the table's change feed")
@@ -134,6 +142,18 @@ def main(argv: list[str] | None = None) -> int:
         hot = t.hot_buckets(args.threshold)
         done = t.compact(spark, buckets=hot) if hot else False
         print(json.dumps({"compacted_buckets": hot if done else []}))
+        return 0
+
+    if args.cmd == "rebucket":
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        spark = _session(args.cores)
+        t = SnapshotTable(args.table, KEY_COLS)
+        old = t.n_buckets
+        changed = t.rebucket(spark, args.buckets)
+        print(json.dumps({"rebucketed": bool(changed),
+                          "from": old, "to": t.n_buckets}))
         return 0
 
     if args.cmd == "view":

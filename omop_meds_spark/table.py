@@ -235,7 +235,7 @@ def _apply_delta(state: dict, d: dict) -> dict:
     offsets = dict(state["offsets"])
     for b, s in d.get("offsets", {}).items():
         offsets[str(b)] = max(int(s), int(offsets.get(str(b), -1)))
-    return {
+    out = {
         "version": d["version"],
         "batch_id": d["batch_id"],
         "files": files,
@@ -247,6 +247,13 @@ def _apply_delta(state: dict, d: dict) -> dict:
         "offsets": offsets,
         "committed_at": d.get("committed_at"),
     }
+    # bucket layout travels with the commit log (rebucket() changes it
+    # atomically at a manifest rename); legacy manifests without the field
+    # inherit the prior state's layout
+    nb = d.get("n_buckets", state.get("n_buckets"))
+    if nb is not None:
+        out["n_buckets"] = int(nb)
+    return out
 
 
 class SnapshotTable:
@@ -284,12 +291,27 @@ class SnapshotTable:
                     f"snapshot table {self.root} was created with key_cols="
                     f"{stored.get('key_cols')}, not {self.key_cols}")
             stored_buckets = int(stored["n_buckets"])
+            # The COMMIT LOG is the layout's source of truth — rebucket()
+            # publishes the new layout INSIDE its manifest, so the layout
+            # change rides the atomic commit rename; _table.json is only
+            # the fast mirror. A crash between manifest publish and mirror
+            # rewrite leaves a stale mirror, healed here on open.
+            self._cache = None
+            self.n_buckets = stored_buckets  # _load_state needs no layout,
+            self.stats_cols = []             # but be fully initialized
+            log_buckets = (self._load_state() or {}).get("n_buckets")
+            if log_buckets is not None and int(log_buckets) != stored_buckets:
+                stored_buckets = int(log_buckets)
+                self.n_buckets = stored_buckets
+                self.stats_cols = (list(stats_cols) if stats_cols is not None
+                                   else list(stored.get("stats_cols", [])))
+                self._stamp_table_meta()
             if n_buckets is not None and int(n_buckets) != stored_buckets:
                 raise ValueError(
                     f"snapshot table {self.root} was created with "
                     f"n_buckets={stored_buckets}; opening with "
                     f"n_buckets={n_buckets} would corrupt the bucket "
-                    f"layout (re-bucketing requires a full rewrite)")
+                    f"layout (use rebucket() for a transactional rewrite)")
             self.n_buckets = stored_buckets
             # zone-map columns are ADVISORY (a file without stats is simply
             # never pruned), so unlike the bucket layout an explicit
@@ -299,14 +321,19 @@ class SnapshotTable:
         else:
             self.n_buckets = int(n_buckets) if n_buckets is not None else 32
             self.stats_cols = list(stats_cols or [])
-            tmp = meta_path.with_name(".tmp._table.json")
-            tmp.write_text(json.dumps({
-                "format": 1, "key_cols": self.key_cols,
-                "n_buckets": self.n_buckets,
-                "stats_cols": self.stats_cols}))
-            tmp.replace(meta_path)  # atomic publish, same as manifests
+            self._stamp_table_meta()
         self._cache: tuple[int, dict] | None = None  # (version, state)
         self._writer_token = uuid.uuid4().hex  # per-instance writer identity
+
+    def _stamp_table_meta(self) -> None:
+        """Atomically (re)write the ``_table.json`` layout mirror."""
+        meta_path = self.root / "_table.json"
+        tmp = meta_path.with_name(".tmp._table.json")
+        tmp.write_text(json.dumps({
+            "format": 1, "key_cols": self.key_cols,
+            "n_buckets": self.n_buckets,
+            "stats_cols": self.stats_cols}))
+        tmp.replace(meta_path)  # atomic publish, same as manifests
 
     # --------------------------------------------------------- writer lock
     @property
@@ -529,6 +556,11 @@ class SnapshotTable:
         m = self._load_state(version)
         if m is None:
             return None
+        if buckets is not None and m.get("n_buckets", self.n_buckets) != self.n_buckets:
+            # time travel across a rebucket: the requested ids were hashed
+            # under the CURRENT layout and don't address this version's
+            # buckets — fall back to a full (correct, unpruned) read
+            buckets = None
         stats = m.get("file_stats", {})
         jlo = jhi = col = None
         if between is not None:
@@ -548,7 +580,9 @@ class SnapshotTable:
         # mergeSchema: a bucket's delta generations may span schema versions
         # (merge-on-read) — union of columns, missing → null.
         df = spark.read.option("mergeSchema", "true").parquet(*files).withColumn(
-            BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets)
+            # derive with the layout the MANIFEST was written under, so a
+            # time-travel read across a rebucket still groups coherently
+            BUCKET_COL, bucket_expr(self.key_cols, m.get("n_buckets", self.n_buckets))
         )
         if between is not None:
             df = self._between_filter(df, *between)
@@ -579,6 +613,8 @@ class SnapshotTable:
         m = self._load_state(version)
         if m is None:
             return None
+        if buckets is not None and m.get("n_buckets", self.n_buckets) != self.n_buckets:
+            buckets = None  # cross-layout time travel — see read()
         from .operators.upsert import last_writer_wins
 
         def lww(d: DataFrame) -> DataFrame:
@@ -945,6 +981,71 @@ class SnapshotTable:
                       add_committed=False)
         return True
 
+    def rebucket(self, spark: SparkSession, new_n_buckets: int,
+                 key_reduce=None) -> bool:
+        """Transactionally change the table's bucket layout — the
+        maintenance op a day-one partition count needs when the table grows
+        100x (at 100 TB you want thousands of buckets, not the 32 a pilot
+        started with; Iceberg calls this partition-spec evolution).
+
+        One full LWW-reduced rewrite: read every generation, reduce to
+        winners (tombstones retained), hash into the NEW bucket space, and
+        publish a manifest that (a) replaces every old bucket's file list
+        and (b) carries the new ``n_buckets`` — so the layout flips at the
+        same atomic manifest rename as the data, and a crash anywhere
+        leaves either the complete old table or the complete new one.
+        ``_table.json`` is re-stamped after the publish; a crash in that
+        window is healed on the next open (the log wins). Readers of
+        HISTORICAL versions keep working: per-manifest layouts make
+        cross-layout bucket pruning fall back to full reads.
+
+        Logically a no-op for consumers: the change feed treats it like
+        compaction (no ``files_add`` — no spurious change rows), committed
+        batch ids, offsets, and the watermark all carry over. Cost is
+        O(live table), the floor for a layout change; run it as rarely as
+        a real lakehouse would."""
+        new_n = int(new_n_buckets)
+        if new_n < 1:
+            raise ValueError(f"rebucket: n_buckets must be >= 1, got {new_n}")
+        prev = self._load_state()
+        if prev is None:
+            return False
+        if new_n == self.n_buckets:
+            return False
+        df = self.read(spark)
+        if df is None:
+            return False
+        if key_reduce is None:
+            from .operators.upsert import last_writer_wins
+
+            def key_reduce(d):
+                tiebreak = "event_id" if "event_id" in d.columns else "seq_no"
+                return last_writer_wins(d, self.key_cols, tiebreak_col=tiebreak,
+                                        salted=False)
+        old_n = self.n_buckets
+        reduced = key_reduce(df.drop(BUCKET_COL)).withColumn(
+            BUCKET_COL, bucket_expr(self.key_cols, new_n))
+        self.n_buckets = new_n  # write path targets the new layout
+        try:
+            tag = f"rebucket{prev['version'] + 1:06d}"
+            nparts = min(new_n, max(2, spark.sparkContext.defaultParallelism * 2))
+            new_files = self._write_bucketed(
+                reduced.repartition(nparts, F.col(BUCKET_COL)),
+                tag, list(range(new_n)))
+            files_replace = {b: [] for b in prev["files"]}
+            files_replace.update({b: fs for b, fs in new_files.items() if fs})
+            self._publish(batch_id=prev["batch_id"],
+                          files_replace=files_replace,
+                          watermark_seq=prev.get("watermark_seq", -1),
+                          lineage={"rebucket": {"from": old_n, "to": new_n}},
+                          file_stats=self._collect_file_stats(new_files),
+                          add_committed=False)
+        except BaseException:
+            self.n_buckets = old_n  # nothing published — stay on old layout
+            raise
+        self._stamp_table_meta()  # mirror heals on open if we crash here
+        return True
+
     def checkpoint(self) -> int | None:
         """Promote the current version's delta manifest to a checkpoint
         (full materialized state), so readers replay zero deltas from here
@@ -1127,6 +1228,7 @@ class SnapshotTable:
         delta = {
             "version": version,
             "kind": "delta",
+            "n_buckets": self.n_buckets,
             "batch_id": batch_id,
             "files_add": {b: fs for b, fs in (files_add or {}).items() if fs},
             "files_replace": files_replace or {},

@@ -38,6 +38,13 @@ def test_cli_full_lifecycle(spark, tmpdir_path, capsys):
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(comp["compacted_buckets"]) > 0
 
+    # grow the bucket layout mid-life; everything downstream (vacuum,
+    # finalize, status) runs against the rewritten table
+    assert main(["rebucket", "--table", tbl, "--buckets", "64",
+                 "--cores", "8"]) == 0
+    rb = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rb == {"rebucketed": True, "from": 32, "to": 64}
+
     assert main(["vacuum", "--table", tbl, "--keep-versions", "1"]) == 0
     vac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert vac["deleted_files"] > 0
