@@ -232,7 +232,10 @@ def _apply_delta(state: dict, d: dict) -> dict:
     hwm, extra = state["committed_hwm"], set(state["committed_extra"])
     if d.get("commit") is not None:
         hwm, extra = _absorb(hwm, extra, int(d["commit"]))
-    offsets = dict(state["offsets"])
+    # offsets are keyed by bucket id, so a layout change makes the old keys
+    # meaningless — a rebucket manifest carries offsets_reset and a fresh
+    # map re-keyed under its own n_buckets
+    offsets = {} if d.get("offsets_reset") else dict(state["offsets"])
     for b, s in d.get("offsets", {}).items():
         offsets[str(b)] = max(int(s), int(offsets.get(str(b), -1)))
     out = {
@@ -1034,12 +1037,22 @@ class SnapshotTable:
                 tag, list(range(new_n)))
             files_replace = {b: [] for b in prev["files"]}
             files_replace.update({b: fs for b, fs in new_files.items() if fs})
+            # offsets are per-BUCKET resume cursors for external tailers;
+            # the old layout's keys are meaningless in the new bucket
+            # space, so reset and re-key. Every new non-empty bucket is
+            # fully applied up to the table watermark (batches advance a
+            # global seq frontier), so wm is its exact resume point;
+            # never-touched buckets stay absent (tailer default -1).
+            wm = int(prev.get("watermark_seq", -1))
+            new_offsets = ({int(b): wm for b, fs in new_files.items() if fs}
+                           if wm >= 0 else {})
             self._publish(batch_id=prev["batch_id"],
                           files_replace=files_replace,
-                          watermark_seq=prev.get("watermark_seq", -1),
+                          watermark_seq=wm,
                           lineage={"rebucket": {"from": old_n, "to": new_n}},
                           file_stats=self._collect_file_stats(new_files),
-                          add_committed=False)
+                          add_committed=False,
+                          offsets=new_offsets, offsets_reset=True)
         except BaseException:
             self.n_buckets = old_n  # nothing published — stay on old layout
             raise
@@ -1217,7 +1230,8 @@ class SnapshotTable:
                  metrics: dict | None = None, schema_json: str | None = None,
                  offsets: dict[int, int] | None = None,
                  file_stats: dict[str, dict] | None = None,
-                 add_committed: bool = True) -> None:
+                 add_committed: bool = True,
+                 offsets_reset: bool = False) -> None:
         """Publish one commit: write an O(batch) delta manifest — or, every
         ``checkpoint_every``-th version, the full checkpoint — and advance
         the in-process state cache."""
@@ -1241,6 +1255,8 @@ class SnapshotTable:
             "metrics": {str(batch_id): metrics} if metrics else {},
             "committed_at": time.time(),
         }
+        if offsets_reset:
+            delta["offsets_reset"] = True
         state = _apply_delta(prev, delta)
         if len(state["committed_extra"]) > 4096:
             # the exception set is bounded by commit OUT-OF-ORDERNESS; a

@@ -38,11 +38,13 @@ def _build(spark, root, n_buckets=4):
     t = SnapshotTable(root, KEYS, n_buckets=n_buckets)
     rows0 = [(f"r{i}", f"p{i % 3}", i, "U", i) for i in range(24)]
     d0 = _delta(spark, rows0, n_buckets)
-    t.commit_delta(d0, 0, _touched(d0), 24)
+    t.commit_delta(d0, 0, _touched(d0), 24,
+                   offsets={b: 24 for b in _touched(d0)})
     rows1 = [(f"r{i}", f"p{i % 3}", 100 + i, "D" if i % 5 == 0 else "U", 100 + i)
              for i in range(0, 24, 2)]
     d1 = _delta(spark, rows1, n_buckets)
-    t.commit_delta(d1, 1, _touched(d1), 124)
+    t.commit_delta(d1, 1, _touched(d1), 124,
+                   offsets={b: 124 for b in _touched(d1)})
     return t
 
 
@@ -90,6 +92,31 @@ def test_rebucket_point_lookup_and_change_feed(spark, tmpdir_path):
     t.commit_delta(d, 2, _touched(d), 999)
     ch = t.read_changes(spark, since_version=v_before)
     assert [r["seq_no"] for r in ch.collect()] == [999]
+
+
+def test_rebucket_rekeys_resume_offsets(spark, tmpdir_path):
+    """offsets are per-bucket resume cursors for external tailers; after a
+    layout change the old keys address the wrong buckets, so rebucket must
+    RESET the map and re-key every live new bucket at the watermark (all
+    applied events are folded into the rewrite, so wm is exact)."""
+    t = _build(spark, tmpdir_path)
+    wm = t.watermark()
+    assert t.offsets()  # old-layout cursors exist (keys < 4)
+
+    assert t.rebucket(spark, 16)
+    live_buckets = {int(b) for b in t.latest()["files"]}
+    assert t.offsets() == {b: wm for b in live_buckets}
+
+    # a fresh open (no in-process cache — pure log replay) agrees
+    assert SnapshotTable(tmpdir_path, KEYS).offsets() == {
+        b: wm for b in live_buckets}
+
+    # post-rebucket commits merge into the NEW keyspace normally
+    d = _delta(spark, [("r1", "p1", 999, "U", 999)], t.n_buckets)
+    t.commit_delta(d, 2, _touched(d), 999,
+                   offsets={b: 999 for b in _touched(d)})
+    off = t.offsets()
+    assert max(off.values()) == 999 and all(v >= wm for v in off.values())
 
 
 def test_rebucket_crash_window_heals_on_open(spark, tmpdir_path):
