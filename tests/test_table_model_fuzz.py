@@ -18,7 +18,11 @@ model, and asserts after EVERY operation:
 * after a vacuum, every file referenced by NO retained version is gone
   (retention actually reclaims space) and dropped versions resolve to
   ``None`` — never ``RuntimeError`` (the stale-dual-delta class);
-* the latest state's committed-batch set and watermark survive unchanged.
+* the latest state's committed-batch set and watermark survive unchanged;
+* per-bucket resume offsets max-merge on commits, RESET + re-key on a
+  layout change (the manifest shape ``rebucket()`` publishes), and the
+  bucket layout replays correctly per version — including a fresh open
+  healing a stale ``_table.json`` mirror from the log.
 
 No reference-repo analogue: the reference's resume model is per-file
 ``.done`` markers (reference: src/OMOP_MEDS/pre_meds.py:74-79); the
@@ -40,11 +44,14 @@ class _Model:
     """Pure-Python twin of the snapshot log: per-version materialized
     files maps plus the committed set / watermark, with vacuum retention."""
 
-    def __init__(self) -> None:
+    def __init__(self, n_buckets: int) -> None:
         self.versions: dict[int, dict[str, list[str]]] = {}
+        self.layout: dict[int, int] = {}  # version -> n_buckets
         self.latest: int = -1
         self.committed: set[int] = set()
         self.watermark: int = -1
+        self.n_buckets: int = n_buckets
+        self.offsets: dict[str, int] = {}
 
     def _next_files(self) -> dict[str, list[str]]:
         if self.latest < 0:
@@ -53,7 +60,10 @@ class _Model:
 
     def commit(self, files_add: dict[str, list[str]],
                files_replace: dict[str, list[str]],
-               batch_id: int | None, watermark_seq: int) -> None:
+               batch_id: int | None, watermark_seq: int,
+               offsets: dict[str, int] | None = None,
+               offsets_reset: bool = False,
+               n_buckets: int | None = None) -> None:
         files = self._next_files()
         for b, fs in files_add.items():
             files[b] = files.get(b, []) + list(fs)
@@ -67,12 +77,20 @@ class _Model:
         if batch_id is not None:
             self.committed.add(batch_id)
         self.watermark = max(self.watermark, watermark_seq)
+        if offsets_reset:
+            self.offsets = {}
+        for b, s in (offsets or {}).items():
+            self.offsets[b] = max(int(s), self.offsets.get(b, -1))
+        if n_buckets is not None:
+            self.n_buckets = n_buckets
+        self.layout[self.latest] = self.n_buckets
 
     def vacuum(self, keep_versions: int) -> None:
         if len(self.versions) <= keep_versions:
             return
         floor = sorted(self.versions)[-keep_versions]
         self.versions = {v: f for v, f in self.versions.items() if v >= floor}
+        self.layout = {v: n for v, n in self.layout.items() if v >= floor}
 
     def referenced(self) -> set[str]:
         return {f for files in self.versions.values() for fs in files.values() for f in fs}
@@ -90,6 +108,7 @@ def _check(t: SnapshotTable, m: _Model) -> None:
         got = t.manifest_at(v)
         assert got is not None, f"retained v{v} vanished"
         assert got["files"] == {b: fs for b, fs in want.items() if fs}, f"v{v} files diverged"
+        assert got["n_buckets"] == m.layout[v], f"v{v} layout diverged"
         for fs in want.values():
             for f in fs:
                 assert (t.root / f).exists(), f"LIVE file {f} (referenced by v{v}) was deleted"
@@ -101,6 +120,13 @@ def _check(t: SnapshotTable, m: _Model) -> None:
         assert t.version == m.latest
         assert t.committed_batches() == m.committed
         assert t.watermark() == m.watermark
+        assert t.offsets() == {int(b): s for b, s in m.offsets.items()}
+        assert t.n_buckets == m.n_buckets
+        # a fresh open adopts the LOG's layout even when the _table.json
+        # mirror is stale (the rebucket crash window), and heals it
+        t2 = SnapshotTable(t.root, t.key_cols)
+        assert t2.n_buckets == m.n_buckets
+        assert t2.offsets() == {int(b): s for b, s in m.offsets.items()}
 
 
 @pytest.mark.parametrize("seed", range(40))
@@ -108,7 +134,7 @@ def test_log_maintenance_model_fuzz(tmpdir_path, seed):
     rng = random.Random(seed)
     t = SnapshotTable(tmpdir_path, ["repo", "path"], n_buckets=N_BUCKETS,
                       checkpoint_every=rng.choice([2, 3, 5, 16]))
-    m = _Model()
+    m = _Model(N_BUCKETS)
     next_batch = 0
     next_file = 0
     watermark = 0
@@ -125,15 +151,16 @@ def test_log_maintenance_model_fuzz(tmpdir_path, seed):
 
     for _ in range(rng.randint(20, 40)):
         op = rng.random()
-        if op < 0.55 or m.latest < 0:  # append commit (the hot-path shape)
-            buckets = rng.sample(range(N_BUCKETS), rng.randint(1, 3))
+        if op < 0.5 or m.latest < 0:  # append commit (the hot-path shape)
+            buckets = rng.sample(range(m.n_buckets), rng.randint(1, min(3, m.n_buckets)))
             adds = {str(b): fresh_files(rng.randint(1, 2)) for b in buckets}
             watermark += rng.randint(1, 5)
+            offs = {str(b): watermark for b in buckets}
             t._publish(batch_id=next_batch, files_add=adds,
-                       watermark_seq=watermark)
-            m.commit(adds, {}, next_batch, watermark)
+                       watermark_seq=watermark, offsets=offs)
+            m.commit(adds, {}, next_batch, watermark, offsets=offs)
             next_batch += 1
-        elif op < 0.72:  # compaction-style replace (no batch commit)
+        elif op < 0.65:  # compaction-style replace (no batch commit)
             cur = m.versions[m.latest]
             if cur:
                 b = rng.choice(sorted(cur))
@@ -141,6 +168,26 @@ def test_log_maintenance_model_fuzz(tmpdir_path, seed):
                 t._publish(batch_id=m.latest, files_replace=repl,
                            watermark_seq=-1, add_committed=False)
                 m.commit({}, repl, None, -1)
+        elif op < 0.74:  # rebucket-shaped layout change: full replace +
+            # n_buckets flip + offsets reset/re-key, all in ONE manifest
+            cur = m.versions[m.latest]
+            new_n = rng.choice([n for n in (2, 4, 8) if n != m.n_buckets])
+            if cur:
+                repl = {b: [] for b in cur}
+                new_live = rng.sample(range(new_n), rng.randint(1, new_n))
+                repl.update({str(b): fresh_files(1) for b in new_live})
+                offs = {str(b): m.watermark for b in new_live} if m.watermark >= 0 else {}
+                t.n_buckets = new_n  # what rebucket() does before publishing
+                t._publish(batch_id=max(next_batch - 1, 0),
+                           files_replace=repl, watermark_seq=m.watermark,
+                           add_committed=False, offsets=offs,
+                           offsets_reset=True)
+                if rng.random() < 0.5:  # half the time, crash BEFORE the
+                    pass                # mirror re-stamp: open() must heal
+                else:
+                    t._stamp_table_meta()
+                m.commit({}, repl, None, m.watermark, offsets=offs,
+                         offsets_reset=True, n_buckets=new_n)
         elif op < 0.86:  # manual checkpoint (the round-3 bug trigger)
             t.checkpoint()
         else:  # vacuum under a random retention window
