@@ -153,6 +153,27 @@ def test_time_travel_across_rebucket_falls_back_to_full_read(spark, tmpdir_path)
     assert got == old_rows
 
 
+def test_vacuum_after_rebucket_reclaims_old_layout(spark, tmpdir_path):
+    """After a layout change, the old layout's data files are referenced
+    only by pre-rebucket versions; a retention-1 vacuum must reclaim every
+    one of them while the rewritten table stays byte-identical."""
+    t = _build(spark, tmpdir_path)
+    before = _live_rows(spark, t)
+    assert t.rebucket(spark, 16)
+
+    res = t.vacuum(keep_versions=1)
+    assert res["deleted_files"] > 0 and res["dropped_manifests"] > 0
+    assert _live_rows(spark, t) == before
+
+    # everything left on disk belongs to the rebucket rewrite generation
+    left = {p.relative_to(t.root).parts[1]
+            for p in (Path(tmpdir_path) / "data").rglob("*.parquet")}
+    assert left == {f"rebucket{t.version:06d}"}
+    # pre-rebucket versions are cleanly gone, and the survivor reads fine
+    assert t.manifest_at(0) is None
+    assert len(t.lookup(spark, {"repo": "r1", "path": "p1"}).collect()) == 1
+
+
 def test_incremental_view_refresh_across_source_rebucket(spark, tmpdir_path):
     """A materialized view folding the change feed must stay exact when the
     SOURCE table is rebucketed between folds (the old-version state read
