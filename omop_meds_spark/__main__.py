@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
         r.add_argument("--buckets", type=int, default=32)
         r.add_argument("--files-per-batch", type=int, default=4)
         r.add_argument("--salts", type=int, default=16)
+        if name == "replay":
+            r.add_argument("--dlq", action="store_true",
+                           help="quarantine structurally invalid events "
+                                "(null key/seq, unknown op) under "
+                                "{table}/dlq instead of applying them")
 
     s = sub.add_parser("status", help="print snapshot-table status (no Spark)")
     s.add_argument("--table", required=True)
@@ -199,7 +204,8 @@ def main(argv: list[str] | None = None) -> int:
         from .runner import CDCRunner
 
         r = CDCRunner(spark, args.wal, args.table, n_buckets=args.buckets,
-                      files_per_batch=args.files_per_batch, n_salts=args.salts)
+                      files_per_batch=args.files_per_batch, n_salts=args.salts,
+                      dlq=getattr(args, "dlq", False))
         metrics = r.run()
     else:
         from .streaming.stream_runner import StreamingCDCRunner

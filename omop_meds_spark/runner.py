@@ -42,9 +42,27 @@ from .schemas import (
     CHANGE_EVENT_SCHEMA_V0,
     CONTENT_HASH_COL,
     KEY_COLS,
+    OP_COL,
+    SEQ_COL,
 )
 from .sources.wal import WalBatch, WalReader
 from .table import SnapshotTable
+
+VALID_OPS = ("I", "U", "D")
+
+
+def valid_event_cond(key_cols: list[str] = KEY_COLS) -> F.Column:
+    """Structural validity predicate for a change event: known op code,
+    non-null sequence position, non-null key. Anything else cannot be
+    applied meaningfully — a null key has no upsert target, an unknown op
+    has no defined semantics — so the DLQ path quarantines it rather than
+    letting it poison state or crash the batch (the badRecordsPath /
+    Kafka-Connect dead-letter-queue pattern). Pure Column algebra: the
+    split is two pushed filters over the same scan, no shuffle."""
+    cond = F.col(OP_COL).isin(*VALID_OPS) & F.col(SEQ_COL).isNotNull()
+    for k in key_cols:
+        cond = cond & F.col(k).isNotNull()
+    return cond
 
 
 def merge_commit_target(
@@ -147,10 +165,19 @@ class CDCRunner:
         dedup: bool = False,
         adaptive: bool = False,
         views: list | None = None,
+        dlq: bool = False,
     ):
         self.spark = spark
         self.salted = salted
         self.dedup = dedup
+        # opt-in dead-letter queue: structurally invalid events (null key,
+        # null seq_no, unknown op — see valid_event_cond) are quarantined
+        # under {table_root}/dlq/b{batch_id} with full payload instead of
+        # reaching the LWW kernel. Default OFF: the WAL source contract
+        # guarantees well-formed events, and the split costs one extra
+        # (pushed-filter) write action per batch when enabled.
+        self.dlq = dlq
+        self.dlq_root = Path(table_root) / "dlq"
         # opt-in incremental materialized views (operators/incremental.py)
         # over the STATE table: refreshed after each committed batch and
         # once more at the end of run(). Zero cost when empty (the bench
@@ -223,6 +250,11 @@ class CDCRunner:
             from .operators.upsert import dedup_events_canonical
 
             events = dedup_events_canonical(events)
+        n_quarantined = 0
+        if self.dlq:
+            n_quarantined = self._quarantine(events, batch.batch_id)
+            if n_quarantined:
+                events = events.filter(valid_event_cond())
         # LWW FIRST, normalize AFTER: the convert-stage columns (sha256,
         # token/lang/line metrics, code mapping) are pure functions of the
         # winner's payload and never influence winner choice (max_by over
@@ -236,6 +268,8 @@ class CDCRunner:
         ).persist()
         try:
             lineage = {"files": list(batch.files), "schema_version": self.registry.version}
+            if self.dlq:
+                lineage["dlq_rows"] = n_quarantined
             # TWO Spark actions per batch, submitted CONCURRENTLY: the
             # state write and the MEDS write race to materialize the shared
             # winners cache (Spark's block manager serializes per-partition
@@ -281,8 +315,41 @@ class CDCRunner:
             "events_per_s": n_events / wall if wall > 0 else 0.0,
             "committed": True,
         }
+        if self.dlq:
+            m["quarantined"] = n_quarantined
         self.metrics.append(m)
         return m
+
+    def _quarantine(self, events: DataFrame, batch_id: int) -> int:
+        """Write the batch's structurally invalid rows (if any) to
+        ``{table_root}/dlq/b{batch_id}`` with full payload; returns the
+        quarantined row count from the written parquet footers (no second
+        Spark action). Overwrite mode keeps crash-replay idempotent: the
+        same batch always produces the same quarantine set. NOTE the
+        three-valued-logic trap: a NULL op makes ``valid_event_cond``
+        NULL, and ``filter(~cond)`` would silently drop the row from BOTH
+        sides — the bad side must coalesce the predicate to False first."""
+        out = self.dlq_root / f"b{batch_id:06d}"
+        bad = events.filter(~F.coalesce(valid_event_cond(), F.lit(False)))
+        bad.write.mode("overwrite").parquet(str(out))
+        import pyarrow.parquet as pq
+
+        n = sum(pq.ParquetFile(p).metadata.num_rows
+                for p in out.glob("*.parquet"))
+        if n == 0:  # keep the DLQ dir = the set of batches with rejects
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
+        return n
+
+    def read_dlq(self, spark: SparkSession) -> DataFrame | None:
+        """All quarantined events across batches (None if the DLQ is
+        empty) — the operator's replay/inspection surface: fix upstream,
+        re-emit through the WAL, never hand-edit state."""
+        dirs = sorted(str(p) for p in self.dlq_root.glob("b*") if p.is_dir())
+        if not dirs:
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def run(self) -> list[dict]:
         """Replay the whole WAL (skipping committed batches — resume)."""
