@@ -207,3 +207,72 @@ def interval_join(
     s_j = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_j = F.unix_micros(F.col(end_col).cast("timestamp"))
     return joined.filter((t_j >= s_j) & (t_j < e_j)).drop("__bin")
+
+
+def scd2_history(
+    events: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq_no",
+    tiebreak_col: str = "event_id",
+    op_col: str | None = None,
+    delete_op: str = "D",
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a CDC event stream.
+
+    The standard warehouse materialization of a change log: one output row
+    per version of a key, carrying ``valid_from`` (the event's own
+    ``seq_col``) and ``valid_to`` (the NEXT event's seq for the same key —
+    the update or delete that superseded it; NULL while still current) plus
+    ``is_current``. Delete events (``op_col == delete_op``) close the prior
+    interval but emit no row of their own, so a deleted key simply has no
+    open interval.
+
+    ``attr_cols`` opts into CHANGE-ONLY compaction: an event whose tracked
+    attributes are all null-safe-equal to the key's previous live version
+    extends that version's interval instead of opening a new one (redundant
+    upserts — the overwhelmingly common CDC case — collapse away). A
+    re-insert after a delete always opens a new interval even if the
+    attributes match.
+
+    Plan: ONE keyed exchange + one in-partition sort. Both window passes
+    (the lag that detects changes, the lead that closes intervals) share
+    the same partitioning and ordering, so Catalyst plans a single
+    Exchange + Sort and evaluates them in one Window stage pair with no
+    second shuffle. Interval construction is inherently order-dependent
+    WITHIN a key; keys are independent, so this scales out exactly like
+    the LWW kernel (hash-partition by key). Hot-key caution as for any
+    window: one key's whole timeline is one task.
+
+    Reference parity: the reference keeps only latest-state tables (its
+    ETL is a full-refresh batch, e.g. the person/death preference joins in
+    src/OMOP_MEDS/convert.py); SCD2 is the incremental-engine capability
+    that preserves what those full refreshes discard.
+
+    Determinism: (seq_col, tiebreak_col) must totally order events within
+    a key (the same contract as last_writer_wins).
+    """
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).asc(), F.col(tiebreak_col).asc())
+    df = events
+    is_delete = (
+        F.col(op_col) == F.lit(delete_op) if op_col is not None else F.lit(False)
+    )
+    if attr_cols:
+        # a row STARTS a version if it is a delete (closes the previous
+        # interval), the key's first event, follows a delete, or differs
+        # from the previous row in any tracked attribute (null-safe)
+        prev_del = F.lag(is_delete).over(w)
+        changed = F.lit(False)
+        for a in attr_cols:
+            changed = changed | ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+        starts = (
+            is_delete | prev_del.isNull() | prev_del
+            | (~is_delete & changed)
+        )
+        df = df.withColumn("__starts", starts).filter(F.col("__starts")).drop("__starts")
+    out = df.withColumn("valid_from", F.col(seq_col).alias("valid_from")) \
+            .withColumn("valid_to", F.lead(F.col(seq_col)).over(w))
+    if op_col is not None:
+        out = out.filter(~is_delete)
+    return out.withColumn("is_current", F.col("valid_to").isNull())

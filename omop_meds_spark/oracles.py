@@ -78,6 +78,39 @@ SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
 FROM w WHERE rn = 1 AND op <> 'D'
 """
 
+ORACLES["scd2_history"] = """
+WITH h AS (
+  SELECT user_id, event_id, event_type, value, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events)
+SELECT user_id, event_id, event_type, value, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM h WHERE event_type <> 'error'
+"""
+
+ORACLES["scd2_change_only"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         (event_type = 'error') AS is_del
+  FROM events),
+m AS (
+  SELECT *,
+         lag(is_del)      OVER w AS p_del,
+         lag(event_type)  OVER w AS p_type
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (
+  SELECT * FROM m
+  WHERE is_del OR p_del IS NULL OR p_del
+        OR (NOT is_del AND event_type IS DISTINCT FROM p_type)),
+h AS (
+  SELECT *, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM c)
+SELECT user_id, event_id, event_type, value, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM h WHERE NOT is_del
+"""
+
 ORACLES["merge_into_docs"] = """
 WITH t AS (SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id < 400),
      s AS (SELECT doc_id, lang, 'recrawl' AS source,

@@ -136,6 +136,41 @@ def cdc_apply_events(spark, sf_dir):
     )
 
 
+def scd2_history(spark, sf_dir):
+    """Type-2 history from the event WAL (operators/temporal.scd2_history):
+    one row per event version with [valid_from, valid_to) intervals;
+    'error' events are delete tombstones that close intervals without
+    emitting a row. One keyed exchange + sort."""
+    from .operators.temporal import scd2_history as scd2
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    )
+    h = scd2(ev, ["user_id"], seq_col="ts", tiebreak_col="event_id", op_col="op")
+    return h.select(
+        "user_id", "event_id", "event_type", "value",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def scd2_change_only(spark, sf_dir):
+    """Change-only SCD2 over the same WAL, tracking event_type: consecutive
+    same-type events for a user fold into one interval (the dominant CDC
+    compression — redundant upserts vanish); a re-insert after a delete
+    always reopens. Same single exchange as scd2_history."""
+    from .operators.temporal import scd2_history as scd2
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    )
+    h = scd2(ev, ["user_id"], seq_col="ts", tiebreak_col="event_id",
+             op_col="op", attr_cols=["event_type"])
+    return h.select(
+        "user_id", "event_id", "event_type", "value",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
 def merge_into_docs(spark, sf_dir):
     """General conditional MERGE INTO (ANSI three-branch semantics,
     operators/merge.py) over a simulated recrawl: target = stored corpus
@@ -843,6 +878,8 @@ ALL_QUERIES = {
     "cdc_upsert_latest": cdc_upsert_latest,
     "cdc_apply_events": cdc_apply_events,
     "cdc_change_feed": cdc_change_feed,
+    "scd2_history": scd2_history,
+    "scd2_change_only": scd2_change_only,
     "merge_into_docs": merge_into_docs,
     "dedup_earliest": dedup_earliest,
     "semi_join_cohort": semi_join_cohort,

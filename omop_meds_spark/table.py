@@ -528,6 +528,68 @@ class SnapshotTable:
             out.update(json.loads(p.read_text()).get("metrics") or {})
         return out
 
+    # ------------------------------------------------------- tags (refs)
+    @property
+    def _refs_path(self) -> Path:
+        return self.root / "_refs.json"
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs (the Iceberg tag analogue): name → pinned
+        version. Tags survive vacuum — a tagged version and everything
+        needed to materialize it is retained until ``drop_tag``."""
+        try:
+            return {str(k): int(v) for k, v in
+                    json.loads(self._refs_path.read_text()).get("tags", {}).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _write_refs(self, tags: dict[str, int]) -> None:
+        tmp = self._refs_path.with_name(".tmp._refs.json")
+        tmp.write_text(json.dumps({"format": 1, "tags": tags}))
+        tmp.replace(self._refs_path)  # atomic publish, same as manifests
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to ``version`` (default: current). The version must
+        still be materializable (inside the retention window); re-tagging
+        the SAME version is a no-op, moving an existing tag is an error
+        (``drop_tag`` first — an audit tag that silently moves is worse
+        than none). Writer-lease-guarded: tags gate vacuum's delete pass,
+        so only the single writer may change them."""
+        self._acquire_writer()
+        v = self.version if version is None else int(version)
+        if v < 0 or self._load_state(version=v) is None:
+            raise ValueError(f"tag {name!r}: version {v} is not materializable "
+                             "(never committed, or already vacuumed)")
+        tags = self.tags()
+        if name in tags and tags[name] != v:
+            raise ValueError(f"tag {name!r} already pins version {tags[name]}; "
+                             "drop_tag() it before re-pointing")
+        tags[name] = v
+        self._write_refs(tags)
+        return v
+
+    def drop_tag(self, name: str) -> bool:
+        """Remove a tag (idempotent). The next vacuum may reclaim the
+        version it pinned."""
+        self._acquire_writer()
+        tags = self.tags()
+        if name not in tags:
+            return False
+        del tags[name]
+        self._write_refs(tags)
+        return True
+
+    def _resolve_version(self, version: int | None,
+                         ref: str | None) -> int | None:
+        if ref is None:
+            return version
+        if version is not None:
+            raise ValueError("pass version= or ref=, not both")
+        tags = self.tags()
+        if ref not in tags:
+            raise KeyError(f"unknown tag {ref!r} (have: {sorted(tags)})")
+        return tags[ref]
+
     # --------------------------------------------------------------- read
     @staticmethod
     def _between_filter(df: DataFrame, col: str, lo, hi) -> DataFrame:
@@ -542,7 +604,8 @@ class SnapshotTable:
 
     def read(self, spark: SparkSession, buckets: list[int] | None = None,
              version: int | None = None,
-             between: tuple[str, object, object] | None = None) -> DataFrame | None:
+             between: tuple[str, object, object] | None = None,
+             ref: str | None = None) -> DataFrame | None:
         """Read table state (optionally only the given buckets — manifest-
         driven pruning, no directory listing). ``version`` time-travels to
         an earlier snapshot: data files are immutable and manifests are
@@ -555,7 +618,10 @@ class SnapshotTable:
         range are skipped without opening them — Iceberg-style file
         skipping, O(pruned files) less scan at any scale — and the exact
         row predicate still applies on the survivors (files with no
-        recorded stats are scanned, so pruning is never lossy)."""
+        recorded stats are scanned, so pruning is never lossy).
+
+        ``ref="name"`` time-travels to a tagged snapshot (``tag()``)."""
+        version = self._resolve_version(version, ref)
         m = self._load_state(version)
         if m is None:
             return None
@@ -593,7 +659,8 @@ class SnapshotTable:
 
     def read_live(self, spark: SparkSession, buckets: list[int] | None = None,
                   op_col: str = "op", version: int | None = None,
-                  between: tuple[str, object, object] | None = None) -> DataFrame | None:
+                  between: tuple[str, object, object] | None = None,
+                  ref: str | None = None) -> DataFrame | None:
         """Current state minus delete tombstones (the user-facing table).
 
         Merge-on-read: LWW-reduces across a bucket's delta generations.
@@ -613,6 +680,7 @@ class SnapshotTable:
         buckets scan every generation and filter AFTER the reduce. Steady
         state after compaction is all-single-generation — the pruned fast
         path — which is exactly where the 100 TB scan savings live."""
+        version = self._resolve_version(version, ref)
         m = self._load_state(version)
         if m is None:
             return None
@@ -1095,8 +1163,10 @@ class SnapshotTable:
         retention window keeps working (their files are preserved; the
         oldest kept version is promoted to a checkpoint so it stays
         materializable); older versions disappear cleanly (``manifest_at``
-        → None) rather than dangling. Driver-side file ops only — O(files),
-        no Spark job.
+        → None) rather than dangling. Tagged versions (``tag()``) extend
+        the retention floor: a tag keeps its snapshot — and the contiguous
+        log suffix from it — alive until ``drop_tag``. Driver-side file
+        ops only — O(files), no Spark job.
 
         SINGLE-WRITER ONLY: vacuum unlinks every data file not referenced
         by a kept manifest, which would include a CONCURRENT writer's
@@ -1106,9 +1176,20 @@ class SnapshotTable:
             raise ValueError("keep_versions must be >= 1")
         self._acquire_writer()
         entries = self._log_entries()
-        if len(entries) <= keep_versions:
+        cut = len(entries) - keep_versions
+        # tags pin snapshots: retention is a contiguous suffix of the log
+        # (incremental replay needs every manifest down to the floor), so
+        # the floor drops to the OLDEST tagged version still in the log —
+        # everything a tag needs stays materializable until drop_tag()
+        pinned = {v for v in self.tags().values()
+                  if any(e[0] == v for e in entries)}
+        if pinned:
+            min_pin = min(pinned)
+            while cut > 0 and entries[cut][0] > min_pin:
+                cut -= 1
+        if cut <= 0:
             return {"deleted_files": 0, "dropped_manifests": 0}
-        kept, dropped = entries[-keep_versions:], entries[:-keep_versions]
+        kept, dropped = entries[cut:], entries[:cut]
         # promote the oldest kept version to a checkpoint BEFORE dropping
         # the older manifests it would otherwise need for materialization
         oldest_v, oldest_kind, oldest_path = kept[0]

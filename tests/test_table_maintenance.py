@@ -361,3 +361,54 @@ def test_bucket_layout_persisted_and_validated(spark, tmpdir_path):
         SnapshotTable(tmpdir_path, KEYS, n_buckets=32)
     with pytest.raises(ValueError, match="key_cols"):
         SnapshotTable(tmpdir_path, ["repo"], n_buckets=8)
+
+
+# ---------------------------------------------------------------- tags
+
+def test_tag_pins_snapshot_through_vacuum(spark, tmpdir_path):
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    for i in range(6):
+        d = _delta(spark, [("r1", "p", i, "U")], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    # tag an early version, then compact (orphans old generations)
+    tagged_v = 1
+    t.tag("audit-2026q1", tagged_v)
+    want = {tuple(r[c] for c in sorted(t.read_live(spark, version=tagged_v).columns))
+            for r in t.read_live(spark, version=tagged_v).collect()}
+    t.compact(spark)
+    # a tight vacuum would normally keep 1 version; the tag drags the
+    # retention floor down to v1 — the tagged read must still work
+    t.vacuum(keep_versions=1)
+    assert t.manifest_at(tagged_v) is not None
+    got_df = t.read_live(spark, ref="audit-2026q1")
+    got = {tuple(r[c] for c in sorted(got_df.columns)) for r in got_df.collect()}
+    assert got == want
+    # pre-tag versions are still reclaimed
+    assert t.manifest_at(0) is None
+    # drop the tag: the next vacuum reclaims everything below the window
+    assert t.drop_tag("audit-2026q1") is True
+    t.vacuum(keep_versions=1)
+    assert t.manifest_at(tagged_v) is None
+    assert len(list(Path(tmpdir_path, "_log").glob("v*.json"))) == 1
+
+
+def test_tag_validation_and_ref_resolution(spark, tmpdir_path):
+    import pytest
+
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    d = _delta(spark, [("r1", "p", 0, "U")], n_buckets=2)
+    t.commit_delta(d, 0, _touched(d), 0)
+    v = t.tag("rel")                      # defaults to current version
+    assert v == t.version and t.tags() == {"rel": v}
+    t.tag("rel", v)                        # same-version re-tag: no-op
+    with pytest.raises(ValueError):        # moving a tag is an error
+        d2 = _delta(spark, [("r1", "p", 1, "U")], n_buckets=2)
+        t.commit_delta(d2, 1, _touched(d2), 1)
+        t.tag("rel", t.version)
+    with pytest.raises(ValueError):        # never-committed version
+        t.tag("nope", 99)
+    with pytest.raises(KeyError):          # unknown ref on read
+        t.read_live(spark, ref="ghost")
+    with pytest.raises(ValueError):        # version= and ref= are exclusive
+        t.read(spark, version=0, ref="rel")
+    assert t.drop_tag("ghost") is False    # idempotent drop

@@ -203,3 +203,69 @@ def test_interval_join_plan_is_hash_join(spark):
     plan = interval_join(ev, iv, "t", "s", "e")._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+# ---------------------------------------------------------------- SCD2
+
+def _scd_events(spark):
+    # key A: insert, redundant upsert (same attrs), change, delete, re-insert
+    # key B: single insert (stays current)
+    rows = [
+        (1, "A", 10, "x", 1.0, "U"),
+        (2, "A", 20, "x", 2.0, "U"),   # same type as prev (folds in change-only)
+        (3, "A", 30, "y", 3.0, "U"),   # type change
+        (4, "A", 40, "y", 4.0, "D"),   # delete closes the interval
+        (5, "A", 50, "y", 5.0, "U"),   # re-insert after delete (same attrs!)
+        (6, "B", 15, "z", 6.0, "U"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, k string, seq_no long, attr string, v double, op string")
+
+
+def test_scd2_history_full(spark):
+    from omop_meds_spark.operators.temporal import scd2_history
+
+    out = scd2_history(_scd_events(spark), ["k"], op_col="op").select(
+        "event_id", "valid_from", "valid_to", "is_current")
+    got = {r["event_id"]: (r["valid_from"], r["valid_to"], r["is_current"])
+           for r in out.collect()}
+    assert got == {
+        1: (10, 20, False),
+        2: (20, 30, False),
+        3: (30, 40, False),   # closed by the delete, no row for the delete
+        5: (50, None, True),  # re-insert is current
+        6: (15, None, True),
+    }
+
+
+def test_scd2_change_only_folds_and_reopens(spark):
+    from omop_meds_spark.operators.temporal import scd2_history
+
+    out = scd2_history(_scd_events(spark), ["k"], op_col="op",
+                       attr_cols=["attr"]).select(
+        "event_id", "valid_from", "valid_to", "is_current", "attr")
+    got = {r["event_id"]: (r["valid_from"], r["valid_to"], r["is_current"])
+           for r in out.collect()}
+    # event 2 folded into event 1's interval; event 5 reopens after the
+    # delete even though attr matches the pre-delete version
+    assert got == {
+        1: (10, 30, False),
+        3: (30, 40, False),
+        5: (50, None, True),
+        6: (15, None, True),
+    }
+
+
+def test_scd2_single_exchange_plan(spark):
+    """Both windows (change-detect lag + interval lead) share one
+    partitioning: exactly ONE exchange in the physical plan."""
+    import re
+
+    from omop_meds_spark.operators.temporal import scd2_history
+
+    for attrs in (None, ["attr"]):
+        out = scd2_history(_scd_events(spark), ["k"], op_col="op",
+                           attr_cols=attrs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+        assert n == 1, f"attrs={attrs}: expected 1 exchange, got {n}\n{plan}"
