@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", required=True)
     v.add_argument("--keep-versions", type=int, default=2)
 
+    fk = sub.add_parser("fsck", help="scan for orphan data files / torn "
+                                     "manifests from crashed writes (no Spark)")
+    fk.add_argument("--table", required=True)
+    fk.add_argument("--remove", action="store_true",
+                    help="unlink the orphans (writer-lease-guarded); "
+                         "default is report-only")
+
     rb = sub.add_parser(
         "rebucket", help="transactionally change the table's bucket count "
                          "(one full LWW rewrite; layout flips at the commit)")
@@ -136,6 +143,13 @@ def main(argv: list[str] | None = None) -> int:
         from .table import SnapshotTable
 
         print(json.dumps(SnapshotTable(args.table, KEY_COLS).vacuum(args.keep_versions)))
+        return 0
+
+    if args.cmd == "fsck":
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        print(json.dumps(SnapshotTable(args.table, KEY_COLS).fsck(remove=args.remove)))
         return 0
 
     if args.cmd == "compact":

@@ -1127,6 +1127,64 @@ class SnapshotTable:
         self._stamp_table_meta()  # mirror heals on open if we crash here
         return True
 
+    def _referenced_files(self) -> set[str]:
+        """Every data file referenced by ANY retained manifest: reset at
+        checkpoints (a ckpt is full state), delta-apply otherwise — the
+        same walk vacuum uses over its kept suffix, here over the whole
+        retained log."""
+        entries = self._log_entries()
+        if not entries:
+            return set()
+        state = self._load_state(version=entries[0][0])
+        referenced: set[str] = set()
+        for fs in state["files"].values():
+            referenced.update(fs)
+        for _, kind, p in entries[1:]:
+            d = json.loads(p.read_text())
+            state = d if kind == "ckpt" else _apply_delta(state, d)
+            for fs in state["files"].values():
+                referenced.update(fs)
+        return referenced
+
+    def fsck(self, remove: bool = False) -> dict:
+        """Orphan scan: data files on disk that NO retained manifest
+        references — the residue of a writer that crashed after staging
+        parquet but before its atomic manifest publish (or an interrupted
+        compaction/rebucket) — plus torn temp manifests (``.tmp.*`` left
+        by a crash mid-publish). Readers are manifest-driven, so orphans
+        never affect correctness; fsck reclaims the disk and keeps
+        listings honest at scale.
+
+        Report-only by default. ``remove=True`` unlinks them and is
+        writer-lease-guarded: a LIVE concurrent writer's staged-but-
+        unpublished files are indistinguishable from orphans, so only the
+        single writer may sweep (same contract as vacuum).
+        """
+        if remove:
+            self._acquire_writer()
+        referenced = self._referenced_files()
+        orphans: list[str] = []
+        for f in sorted((self.root / "data").rglob("*.parquet")):
+            rel = str(f.relative_to(self.root))
+            if rel not in referenced:
+                orphans.append(rel)
+        torn = sorted(p for p in (self.root / "_log").iterdir()
+                      if p.name.startswith(".tmp."))
+        removed = 0
+        if remove:
+            for rel in orphans:
+                (self.root / rel).unlink()
+                removed += 1
+            for p in torn:
+                p.unlink()
+                removed += 1
+            for d in sorted((self.root / "data").rglob("*"), reverse=True):
+                if d.is_dir() and not any(d.iterdir()):
+                    d.rmdir()
+        return {"orphan_files": orphans,
+                "torn_manifests": [p.name for p in torn],
+                "removed": removed}
+
     def checkpoint(self) -> int | None:
         """Promote the current version's delta manifest to a checkpoint
         (full materialized state), so readers replay zero deltas from here

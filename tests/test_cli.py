@@ -49,6 +49,10 @@ def test_cli_full_lifecycle(spark, tmpdir_path, capsys):
     vac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert vac["deleted_files"] > 0
 
+    assert main(["fsck", "--table", tbl]) == 0
+    fs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fs == {"orphan_files": [], "torn_manifests": [], "removed": 0}
+
     # a NEW view over the vacuumed table bootstraps from live state
     assert main(["view", "--table", tbl, "--out", f"{tmpdir_path}/mv2",
                  "--dims", "lang", "--cores", "8"]) == 0

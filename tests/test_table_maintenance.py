@@ -412,3 +412,50 @@ def test_tag_validation_and_ref_resolution(spark, tmpdir_path):
     with pytest.raises(ValueError):        # version= and ref= are exclusive
         t.read(spark, version=0, ref="rel")
     assert t.drop_tag("ghost") is False    # idempotent drop
+
+
+# ---------------------------------------------------------------- fsck
+
+def test_fsck_reports_and_reclaims_crashed_write_residue(spark, tmpdir_path):
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    for i in range(3):
+        d = _delta(spark, [("r1", "p", i, "U")], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    want = _live_rows(spark, t)
+    # clean table: nothing to report
+    assert t.fsck() == {"orphan_files": [], "torn_manifests": [], "removed": 0}
+    # simulate a writer that crashed after staging parquet but before its
+    # manifest publish: an unreferenced file in a bucket dir + a torn tmp
+    # manifest in the log
+    some_bucket = next(Path(tmpdir_path, "data").rglob("*.parquet")).parent
+    orphan = some_bucket / "part-crashed.parquet"
+    orphan.write_bytes(b"not really parquet")
+    (Path(tmpdir_path, "_log") / ".tmp.v99-delta.json").write_text("{}")
+    # report-only: finds both, touches nothing, reads unaffected
+    rep = t.fsck()
+    assert len(rep["orphan_files"]) == 1 and "part-crashed" in rep["orphan_files"][0]
+    assert rep["torn_manifests"] == [".tmp.v99-delta.json"]
+    assert rep["removed"] == 0 and orphan.exists()
+    assert _live_rows(spark, t) == want
+    # remove: unlinks both; a second pass is clean and state is intact
+    rep2 = t.fsck(remove=True)
+    assert rep2["removed"] == 2 and not orphan.exists()
+    assert t.fsck() == {"orphan_files": [], "torn_manifests": [], "removed": 0}
+    assert _live_rows(spark, t) == want
+
+
+def test_fsck_never_flags_referenced_files_across_maintenance(spark, tmpdir_path):
+    """After compaction + vacuum + rebucket, fsck over the surviving log
+    must consider every still-referenced generation reachable — zero
+    orphans on a healthy table regardless of maintenance history."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    for i in range(5):
+        d = _delta(spark, [("r1", f"p{i % 2}", i, "U")], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    t.compact(spark)
+    t.vacuum(keep_versions=2)
+    t.rebucket(spark, 4)
+    want = _live_rows(spark, t)
+    rep = t.fsck()
+    assert rep["orphan_files"] == [] and rep["torn_manifests"] == []
+    assert _live_rows(spark, t) == want
