@@ -287,6 +287,16 @@ FROM f
 # the incremental fold must land on exactly the full recompute over the
 # final live state: LWW winner per user over the WHOLE stream, tombstones
 # out, grouped by the winner's event_type — sums in DECIMAL, cast at the edge
+ORACLES["table_restore"] = """
+WITH w AS (
+  SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id % 2 = 0)
+SELECT user_id, event_type AS cur_type, value AS cur_value
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
 ORACLES["incremental_agg_view"] = """
 WITH src AS (
   SELECT user_id, epoch_us(ts) AS seq_no, event_id, event_type, value,

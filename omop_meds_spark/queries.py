@@ -234,6 +234,42 @@ def cdc_change_feed(spark, sf_dir):
     )
 
 
+def table_restore(spark, sf_dir):
+    """Snapshot RESTORE as a forward diff commit (table.py:restore, the
+    Delta-RESTORE analogue with git-revert semantics): events replay into
+    a SnapshotTable as two batches (event_id parity), then the table is
+    restored to the batch-0 snapshot — live content must equal batch-0's
+    LWW winners minus tombstones, reached through a NEW commit (history
+    intact, change feed populated). Temp table leaks to /tmp for the lazy
+    read (OS-reaped)."""
+    import tempfile
+
+    from .table import SnapshotTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn("seq_no", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("event_id", "seq_no", "user_id", "event_type", "value", "op")
+    )
+    tbl = SnapshotTable(tempfile.mkdtemp(prefix="cdc_restore_"), ["user_id"],
+                        n_buckets=8)
+    for b in (0, 1):
+        winners = last_writer_wins(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == b), ["user_id"]
+        )
+        tbl.commit_delta_auto(winners, b)
+    tbl.restore(spark, version=0)
+    return tbl.read_live(spark).select(
+        "user_id",
+        F.col("event_type").alias("cur_type"),
+        F.col("value").alias("cur_value"),
+    )
+
+
 def incremental_agg_view(spark, sf_dir):
     """Materialized GROUP BY, maintained INCREMENTALLY from the change
     feed through the real table API: events replay into a SnapshotTable as
@@ -896,6 +932,7 @@ ALL_QUERIES = {
     "windowed_event_counts": windowed_event_counts,
     "sessionize": sessionize,
     "incremental_agg_view": incremental_agg_view,
+    "table_restore": table_restore,
     "rollup_order_stats": rollup_order_stats,
     "top_orders_per_priority": top_orders_per_priority,
     "median_quantity_by_flag": median_quantity_by_flag,

@@ -1127,6 +1127,86 @@ class SnapshotTable:
         self._stamp_table_meta()  # mirror heals on open if we crash here
         return True
 
+    def restore(self, spark: SparkSession, version: int | None = None,
+                ref: str | None = None, batch_id: int | None = None,
+                op_col: str = "op") -> dict:
+        """Restore live CONTENT to an earlier snapshot — as a FORWARD diff
+        commit (git revert, not git reset). The LWW diff between the
+        target version's live state and the current one becomes a normal
+        CDC batch: keys whose payload changed (or were deleted) since the
+        target get an upsert carrying the old payload, keys created since
+        get a delete tombstone, unchanged keys emit nothing. Because the
+        restore rides the ordinary commit path, the change feed shows it
+        as real changes, incremental views fold it, resume/exactly-once
+        bookkeeping is untouched, and history is preserved (the restored-
+        FROM versions stay readable; nothing is rewritten or unlinked).
+
+        Content semantics: the restored rows carry the target version's
+        payload but a NEW ``seq_no`` (current watermark + 1) and a
+        synthesized tiebreak — they must WIN the LWW merge over the rows
+        they supersede. Lineage records ``restore_of_version``.
+
+        Cost: one full-outer key join of two live reads (O(live table) —
+        the floor for a content diff), then the standard delta commit.
+        Returns {"restored", "changed", "version"}; a no-op diff commits
+        nothing."""
+        from functools import reduce as _reduce
+        from operator import and_ as _and
+
+        target_v = self._resolve_version(version, ref)
+        if target_v is None:
+            raise ValueError("restore: pass version= or ref=")
+        cur = self.read_live(spark, op_col=op_col)
+        if cur is None:
+            raise ValueError("restore: table has no current state")
+        old = self.read_live(spark, version=target_v, op_col=op_col)
+        if old is None:  # target predates any data: everything tombstones
+            old = cur.limit(0)
+        seq_col = "seq_no"
+        tiebreak_col = "event_id" if "event_id" in old.columns else seq_col
+        skip = set(self.key_cols) | {seq_col, tiebreak_col, op_col, BUCKET_COL}
+        pay = [c for c in old.columns if c not in skip]
+        o = old.select(
+            *self.key_cols,
+            *[F.col(c).alias(f"__o_{c}") for c in pay],
+            F.lit(True).alias("__in_o"))
+        c_ = cur.select(
+            *self.key_cols,
+            *[F.col(c).alias(f"__c_{c}") for c in pay],
+            F.lit(True).alias("__in_c"))
+        j = o.join(c_, self.key_cols, "full_outer")
+        same = _reduce(_and, [F.col(f"__o_{c}").eqNullSafe(F.col(f"__c_{c}"))
+                              for c in pay], F.lit(True))
+        changed = j.filter(F.col("__in_o").isNull() | F.col("__in_c").isNull()
+                           | ~same)
+        new_seq = self.watermark() + 1
+        tb_type = dict(old.dtypes).get(tiebreak_col, "string")
+        cols = [
+            *[F.col(k) for k in self.key_cols],
+            *[F.col(f"__o_{c}").alias(c) for c in pay],
+            F.when(F.col("__in_o").isNull(), F.lit("D"))
+             .otherwise(F.lit("U")).alias(op_col),
+            F.lit(new_seq).cast("long").alias(seq_col),
+        ]
+        if tiebreak_col != seq_col:
+            # unique per key within the batch (keys are distinct post-join);
+            # typed to match the table's tiebreak column — marked "restore-"
+            # where the type allows
+            kh = F.xxhash64(*[F.col(k) for k in self.key_cols])
+            tb = (F.concat(F.lit("restore-"), kh.cast("string"))
+                  if tb_type == "string" else kh.cast(tb_type))
+            cols.append(tb.alias(tiebreak_col))
+        delta = changed.select(*cols)
+        if delta.isEmpty():
+            return {"restored": False, "changed": 0, "version": self.version}
+        if batch_id is None:
+            batch_id = max(self.committed_batches(), default=-1) + 1
+        stats = self.commit_delta_auto(
+            delta, batch_id, lineage={"restore_of_version": target_v})
+        return {"restored": True,
+                "changed": int(stats["n_keys"]) if stats else 0,
+                "version": self.version}
+
     def _referenced_files(self) -> set[str]:
         """Every data file referenced by ANY retained manifest: reset at
         checkpoints (a ckpt is full state), delta-apply otherwise — the

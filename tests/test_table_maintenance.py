@@ -459,3 +459,44 @@ def test_fsck_never_flags_referenced_files_across_maintenance(spark, tmpdir_path
     rep = t.fsck()
     assert rep["orphan_files"] == [] and rep["torn_manifests"] == []
     assert _live_rows(spark, t) == want
+
+
+# -------------------------------------------------------------- restore
+
+def test_restore_is_a_forward_diff_commit(spark, tmpdir_path):
+    sch = "repo string, path string, val long, seq_no long, op string"
+
+    def dd(rows):
+        df = spark.createDataFrame(rows, sch)
+        return df.withColumn(BUCKET_COL, bucket_expr(KEYS, 2))
+
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    t.commit_delta_auto(dd([("r1", "a", 1, 0, "U"), ("r1", "b", 2, 1, "U")]), 0)
+    v0 = t.version
+    t.tag("before-mess")
+    # later batches: update a, delete b, create c
+    t.commit_delta_auto(dd([("r1", "a", 10, 2, "U"), ("r1", "b", 0, 3, "D")]), 1)
+    t.commit_delta_auto(dd([("r1", "c", 30, 4, "U")]), 2)
+    feed_before = t.version
+
+    def content():
+        df = t.read_live(spark)
+        return {(r["repo"], r["path"], r["val"]) for r in df.collect()}
+
+    assert content() == {("r1", "a", 10), ("r1", "c", 30)}
+    out = t.restore(spark, ref="before-mess")
+    assert out["restored"] and out["changed"] == 3  # a reverted, b revived, c tombstoned
+    assert content() == {("r1", "a", 1), ("r1", "b", 2)}
+    # forward commit: history intact, feed shows the restore as real changes
+    assert t.version == feed_before + 1
+    assert t.read(spark, version=feed_before) is not None
+    feed = t.read_changes(spark, since_version=feed_before)
+    got_ops = {(r["path"], r["op"]) for r in feed.collect()}
+    assert got_ops == {("a", "U"), ("b", "U"), ("c", "D")}
+    # lineage records the provenance; a second restore is a no-op
+    bid = max(t.committed_batches())
+    assert t.batch_lineage(bid)["restore_of_version"] == v0
+    again = t.restore(spark, version=v0)
+    assert again == {"restored": False, "changed": 0, "version": t.version}
+    # restored rows keep winning: LWW seq is above the old watermark
+    assert t.watermark() > 3
