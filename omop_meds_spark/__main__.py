@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
                            help="quarantine structurally invalid events "
                                 "(null key/seq, unknown op) under "
                                 "{table}/dlq instead of applying them")
+            r.add_argument("--constraint", action="append", default=[],
+                           help="SQL predicate every event must satisfy "
+                                "(repeatable); violators quarantine to the "
+                                "DLQ with a recorded reason")
 
     s = sub.add_parser("status", help="print snapshot-table status (no Spark)")
     s.add_argument("--table", required=True)
@@ -219,7 +223,8 @@ def main(argv: list[str] | None = None) -> int:
 
         r = CDCRunner(spark, args.wal, args.table, n_buckets=args.buckets,
                       files_per_batch=args.files_per_batch, n_salts=args.salts,
-                      dlq=getattr(args, "dlq", False))
+                      dlq=getattr(args, "dlq", False),
+                      constraints=getattr(args, "constraint", []))
         metrics = r.run()
     else:
         from .streaming.stream_runner import StreamingCDCRunner

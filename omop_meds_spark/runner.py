@@ -166,6 +166,7 @@ class CDCRunner:
         adaptive: bool = False,
         views: list | None = None,
         dlq: bool = False,
+        constraints: list[str] | None = None,
     ):
         self.spark = spark
         self.salted = salted
@@ -176,7 +177,15 @@ class CDCRunner:
         # reaching the LWW kernel. Default OFF: the WAL source contract
         # guarantees well-formed events, and the split costs one extra
         # (pushed-filter) write action per batch when enabled.
-        self.dlq = dlq
+        # opt-in SEMANTIC constraints (Delta CHECK-constraint analogue,
+        # routed to the DLQ instead of failing the batch): SQL predicates
+        # over the ALIGNED event schema that every row must satisfy;
+        # violating rows — including NULL-predicate rows, per the same
+        # three-valued-logic rule as the structural check — quarantine
+        # with a recorded _reject_reason. Supplying constraints implies
+        # the DLQ split.
+        self.constraints = list(constraints or [])
+        self.dlq = dlq or bool(self.constraints)
         self.dlq_root = Path(table_root) / "dlq"
         # opt-in incremental materialized views (operators/incremental.py)
         # over the STATE table: refreshed after each committed batch and
@@ -254,7 +263,7 @@ class CDCRunner:
         if self.dlq:
             n_quarantined = self._quarantine(events, batch.batch_id)
             if n_quarantined:
-                events = events.filter(valid_event_cond())
+                events = events.filter(self._valid_cond())
         # LWW FIRST, normalize AFTER: the convert-stage columns (sha256,
         # token/lang/line metrics, code mapping) are pure functions of the
         # winner's payload and never influence winner choice (max_by over
@@ -320,6 +329,15 @@ class CDCRunner:
         self.metrics.append(m)
         return m
 
+    def _valid_cond(self) -> F.Column:
+        """Structural validity AND every user constraint (NULL-unsafe on
+        purpose: the quarantine side coalesces to False, so a NULL
+        predicate row is quarantined, never dropped)."""
+        cond = valid_event_cond()
+        for c in self.constraints:
+            cond = cond & F.expr(c)
+        return cond
+
     def _quarantine(self, events: DataFrame, batch_id: int) -> int:
         """Write the batch's structurally invalid rows (if any) to
         ``{table_root}/dlq/b{batch_id}`` with full payload; returns the
@@ -330,7 +348,15 @@ class CDCRunner:
         NULL, and ``filter(~cond)`` would silently drop the row from BOTH
         sides — the bad side must coalesce the predicate to False first."""
         out = self.dlq_root / f"b{batch_id:06d}"
-        bad = events.filter(~F.coalesce(valid_event_cond(), F.lit(False)))
+        bad = events.filter(~F.coalesce(self._valid_cond(), F.lit(False)))
+        # first failing check, for the operator reading the DLQ: the
+        # structural test, then each constraint in declaration order
+        reason = F.when(~F.coalesce(valid_event_cond(), F.lit(False)),
+                        F.lit("structural"))
+        for c in self.constraints:
+            reason = reason.when(~F.coalesce(F.expr(c), F.lit(False)),
+                                 F.lit(f"constraint: {c}"))
+        bad = bad.withColumn("_reject_reason", reason)
         bad.write.mode("overwrite").parquet(str(out))
         import pyarrow.parquet as pq
 

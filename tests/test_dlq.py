@@ -101,3 +101,54 @@ def test_dlq_off_and_clean_wal_leave_no_dlq_dir(spark, tmpdir_path):
     # clean WAL: zero-reject batches leave no b* dirs behind
     assert r.read_dlq(spark) is None
     assert not list(Path(f"{tmpdir_path}/tbl/dlq").glob("b*"))
+
+
+def test_constraints_route_violations_to_dlq_with_reason(spark, tmpdir_path):
+    """Semantic CHECK constraints (SQL predicates over the aligned schema)
+    quarantine violators — including NULL-predicate rows — with the first
+    failing check recorded in _reject_reason; the surviving rows apply
+    exactly as if the violators never arrived."""
+    import shutil
+
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=2000, n_repos=4, paths_per_repo=6, n_files=3,
+                 seed=11)
+    shutil.copytree(wal, f"{tmpdir_path}/wal_orig")
+    # inject rows that are structurally FINE but semantically bad: an empty
+    # lang and a content/lang mismatch the constraint below catches, plus
+    # one structural reject to check reason precedence
+    seq = 20_000_000
+    rows = {
+        "seq_no":   [seq + 1, seq + 2, seq + 3],
+        "event_id": ["sem-1", "sem-2", "bad-s"],
+        "op":       ["U",     "U",     "X"],
+        "repo":     ["r0",    "r0",    "r0"],
+        "path":     ["p_sem1", "p_sem2", "p_sem3"],
+        "commit":   ["c"] * 3,
+        "lang":     ["",      None,    "py"],   # sem-2: NULL predicate row
+        "content":  ["x"] * 3,
+    }
+    out = sorted(Path(wal).glob("*.parquet"))[-1]
+    pq.write_table(pa.table(rows), Path(wal) / f"{int(out.stem) + 1:06d}.parquet")
+
+    # upserts must carry a non-empty lang; coalesce-free on purpose for
+    # sem-2: length(NULL) is NULL -> three-valued logic -> quarantined
+    r = CDCRunner(spark, wal, f"{tmpdir_path}/tbl", n_buckets=8,
+                  files_per_batch=2,
+                  constraints=["op <> 'U' OR length(lang) > 0"])
+    r.run()
+
+    dlq = r.read_dlq(spark)
+    got = {row["event_id"]: row["_reject_reason"] for row in dlq.collect()}
+    assert got == {
+        "sem-1": "constraint: op <> 'U' OR length(lang) > 0",
+        "sem-2": "constraint: op <> 'U' OR length(lang) > 0",
+        "bad-s": "structural",
+    }
+    # applied state == replay of the pristine WAL (violators never applied)
+    from omop_meds_spark.verify import pandas_fingerprint, state_fingerprint
+
+    cols = ["repo", "path", "commit", "lang", "seq_no"]
+    pdf = replay_oracle(f"{tmpdir_path}/wal_orig")
+    assert state_fingerprint(r.final_state().select(*cols), cols) == \
+        pandas_fingerprint(pdf[cols], cols)
