@@ -120,3 +120,54 @@ def test_merge_state_schema_evolution(spark):
     s2 = merge_state(s1, last_writer_wins(b2, ["repo", "path"]), ["repo", "path"])
     rows = {(r["repo"], r["path"], r["size_bytes"]) for r in s2.collect()}
     assert rows == {("r1", "p1", None), ("r1", "p2", 10)}
+
+
+def test_lww_128_seeded_shuffled_orderings_match_replay_oracle(spark):
+    """SURVEY §7.3(c) at scale: 128 seeded random interleavings of
+    insert/update/delete/redelivery per key — shuffled arrival, duplicate
+    seq_nos (tiebreak exercised), byte-identical redeliveries — checked
+    against a pure-Python replay oracle. All 128 universes ride ONE Spark
+    job (the seed is part of the key), so the sweep costs seconds; a
+    second pass folds random BATCH SPLITS through merge_state and a third
+    runs the salted kernel, all landing on the identical final state."""
+    import random
+
+    rows, expected = [], {}
+    for seed in range(128):
+        rng = random.Random(seed)
+        n_keys = rng.randint(1, 5)
+        events, eid = [], 0
+        for _ in range(rng.randint(3, 30)):
+            events.append((seed, f"k{rng.randrange(n_keys)}",
+                           rng.randrange(50), f"e{seed}-{eid:03d}",
+                           rng.choice(["U", "U", "U", "D"]),
+                           round(rng.random(), 6)))
+            eid += 1
+        # at-least-once: redeliver byte-identical copies of a few events
+        events.extend(rng.sample(events, k=min(5, len(events))))
+        rng.shuffle(events)  # arrival order is unrelated to seq order
+        rows.extend(events)
+        per: dict = {}
+        for (s, k, seq, e, op, v) in events:
+            if k not in per or (seq, e) > (per[k][0], per[k][1]):
+                per[k] = (seq, e, op, v)
+        for k, w in per.items():
+            expected[(seed, k)] = w
+    schema = "seed long, key string, seq_no long, event_id string, op string, val double"
+    df = spark.createDataFrame(rows, schema)
+
+    def final(out):
+        return {(r["seed"], r["key"]): (r["seq_no"], r["event_id"], r["op"], r["val"])
+                for r in out.collect()}
+
+    assert final(last_writer_wins(df, ["seed", "key"])) == expected
+    assert final(last_writer_wins(df, ["seed", "key"], salted=True)) == expected
+    # arbitrary batch splits: hash-bucket the events into 3 batches, LWW
+    # each, fold through merge_state — batching must not change the result
+    batched = df.withColumn("__b", F.pmod(F.xxhash64("event_id", "seq_no"), F.lit(3)))
+    state = None
+    for b in range(3):
+        w = last_writer_wins(batched.filter(F.col("__b") == b).drop("__b"),
+                             ["seed", "key"])
+        state = merge_state(state, w, ["seed", "key"])
+    assert final(state) == expected
