@@ -234,3 +234,151 @@ class IncrementalAggView:
             cols.append(F.when(F.col(f"cnt_{c}") > 0, F.col(f"sum_{c}"))
                         .alias(f"sum_{c}"))
         return df.select(*cols)
+
+
+class SCD2View:
+    """Incrementally-maintained TYPE-2 HISTORY view over a CDC table.
+
+    Where ``IncrementalAggView`` folds the change feed into a GROUP BY,
+    ``SCD2View`` folds it into a queryable dimension HISTORY — the
+    warehouse pattern of materializing slowly-changing-dimension rows
+    from a CDF stream (what a `MERGE`-based SCD2 job does on Delta),
+    maintained at O(changed keys) per refresh.
+
+    Storage: ONE ROW PER KEY in the view's own SnapshotTable — the key's
+    per-commit version LOG as a seq-sorted ``array<struct>`` column.
+    Whole-row LWW replacement makes the refresh a plain upsert; bucket
+    pruning works naturally because the view is keyed exactly by the
+    source key. Intervals are computed ON READ (``read_intervals`` — one
+    window pass via ``scd2_history``), so late/out-of-order commits need
+    no interval surgery: the affected key's log is re-sorted on merge
+    (``array_sort`` by (seq, tiebreak)) and the intervals simply fall out
+    — ANY refresh cadence converges to the identical view (tested).
+
+    Grain: per COMMIT. The feed carries each commit's LWW winners, so
+    intra-batch churn is already collapsed — the lakehouse CDF grain.
+    Contract: one key's history must fit in a row (per-commit grain keeps
+    it to #commits-that-touched-the-key entries; compact upstream or
+    archive downstream if a key churns every commit for years).
+
+    Exactly-once: each fold commits with ``lineage={"source_version"}``;
+    the cursor is recovered from retained lineage, so crashed or replayed
+    refreshes are no-ops (same contract as IncrementalAggView, including
+    the bootstrap-from-live-state path over a vacuumed source — bootstrap
+    seeds each key's log with its CURRENT version only, history before
+    the vacuum horizon being unrecoverable by definition).
+    """
+
+    _META = {"_commit_version", "_commit_batch_id"}
+
+    def __init__(self, root: str | Path, source: SnapshotTable,
+                 n_buckets: int | None = None, op_col: str = "op"):
+        self.source = source
+        self.op_col = op_col
+        self.table = SnapshotTable(root, key_cols=list(source.key_cols),
+                                   n_buckets=n_buckets)
+
+    @property
+    def cursor(self) -> int:
+        lin = self.table.lineage_log()
+        return max((int(d["source_version"]) for d in lin.values()
+                    if isinstance(d, dict) and "source_version" in d),
+                   default=-1)
+
+    def _version_struct(self, df: DataFrame) -> F.Column:
+        src = self.source
+        seq = "seq_no"
+        tb = "event_id" if "event_id" in df.columns else seq
+        skip = set(src.key_cols) | {seq, tb, self.op_col} | self._META
+        skip.add("__bucket")
+        pay = [c for c in df.columns if c not in skip]
+        return F.struct(
+            F.col(seq).alias("seq"),
+            F.col(tb).cast("string").alias("tb"),
+            F.col(self.op_col).alias("op"),
+            *[F.col(c) for c in pay])
+
+    def refresh(self, spark: SparkSession, to_version: int | None = None) -> bool:
+        """Fold source versions ``(cursor, to_version]``. Returns False
+        when there is nothing new."""
+        src = self.source
+        head = src.version
+        v1 = head if to_version is None else to_version
+        if v1 > head:
+            raise ValueError(f"refresh: to_version {v1} is beyond source head {head}")
+        v0 = self.cursor
+        if v1 <= v0:
+            return False
+        batch_id = max(self.table.committed_batches(), default=-1) + 1
+        lineage = {"source_version": v1, "since_version": v0}
+        try:
+            ch = src.read_changes(spark, since_version=v0, to_version=v1)
+        except ValueError:
+            if v0 >= 0:
+                raise  # incremental hole: the feed between folds was vacuumed
+            ch = src.read_live(spark, version=v1)  # bootstrap: current-only log
+        key = list(src.key_cols)
+        if ch is None:  # compaction-only range: just advance the cursor
+            self.table.commit_delta_auto(
+                self._empty_frame(spark), batch_id, lineage=lineage,
+                schema_json=(self.table.latest() or {}).get("schema"))
+            return True
+        new_logs = (ch.groupBy(*key)
+                      .agg(F.collect_list(self._version_struct(ch)).alias("_new")))
+        # merge with the affected keys' EXISTING logs: manifest-pruned read
+        # of just those view buckets, left join (unaffected keys untouched)
+        vbs = sorted(r["b"] for r in new_logs.select(
+            bucket_expr(key, self.table.n_buckets).alias("b"))
+            .distinct().collect())
+        cur = self.table.read_live(spark, buckets=vbs)
+        if cur is not None:
+            j = new_logs.join(
+                cur.select(*key, F.col("history").alias("_old")), key, "left")
+        else:
+            j = new_logs.withColumn(
+                "_old", F.lit(None).cast(new_logs.schema["_new"].dataType))
+        # sorted dedup merge: array_sort orders by (seq, tb, ...) — struct
+        # field order IS the sort key; array_distinct folds redeliveries
+        # (byte-identical winners). Late rows land in seq position.
+        hist = F.array_sort(F.array_distinct(F.concat(
+            F.coalesce(F.col("_old"), F.array().cast(new_logs.schema["_new"].dataType)),
+            F.col("_new"))))
+        out = j.select(
+            *key,
+            hist.alias("history"),
+            # LWW order for the view row: the fold's source version — a
+            # late-data merge changes the log without raising its max seq,
+            # so max-seq would tie and break winner determinism
+            F.lit(v1).cast("long").alias("seq_no"),
+            F.lit("U").alias(self.op_col),
+        )
+        self.table.commit_delta_auto(out, batch_id, lineage=lineage)
+        return True
+
+    def _empty_frame(self, spark: SparkSession) -> DataFrame:
+        key_fields = ", ".join(f"{k} string" for k in self.source.key_cols)
+        return spark.createDataFrame(
+            [], f"{key_fields}, history array<struct<seq long, tb string, "
+                f"op string>>, seq_no long, {self.op_col} string")
+
+    # ----------------------------------------------------------- readers
+    def read_log(self, spark: SparkSession) -> DataFrame | None:
+        """The per-key version log, one row per (key, version): columns
+        (key..., seq, tb, op, payload...)."""
+        df = self.table.read_live(spark)
+        if df is None:
+            return None
+        return df.select(*self.source.key_cols,
+                         F.explode("history").alias("_v")).select(
+            *self.source.key_cols, "_v.*")
+
+    def read_intervals(self, spark: SparkSession) -> DataFrame | None:
+        """SCD2 validity intervals ([valid_from, valid_to) on seq,
+        is_current) — one window pass over the exploded logs."""
+        from .temporal import scd2_history
+
+        log = self.read_log(spark)
+        if log is None:
+            return None
+        return scd2_history(log, list(self.source.key_cols), seq_col="seq",
+                            tiebreak_col="tb", op_col="op")

@@ -287,6 +287,26 @@ FROM f
 # the incremental fold must land on exactly the full recompute over the
 # final live state: LWW winner per user over the WHOLE stream, tombstones
 # out, grouped by the winner's event_type — sums in DECIMAL, cast at the edge
+ORACLES["scd2_view_intervals"] = """
+WITH w AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id, event_id % 2
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+v AS (SELECT * FROM w WHERE rn = 1),
+h AS (
+  SELECT user_id, event_type, value, op,
+         epoch_us(ts) AS valid_from,
+         lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts), CAST(event_id AS VARCHAR)) AS valid_to
+  FROM v)
+SELECT user_id, event_type, value, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM h WHERE op <> 'D'
+"""
+
 ORACLES["table_restore"] = """
 WITH w AS (
   SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,

@@ -234,6 +234,45 @@ def cdc_change_feed(spark, sf_dir):
     )
 
 
+def scd2_view_intervals(spark, sf_dir):
+    """Incrementally-maintained SCD2 history view (SCD2View): events
+    replay into a SnapshotTable as two CDC batches (event_id parity —
+    deliberately OUT of time order, so the second fold delivers late
+    data), the view refreshes after each commit, and read_intervals()
+    must equal the SCD2 over all per-commit winners in seq order —
+    late rows split intervals with no surgery. Temp tables leak to /tmp
+    for the lazy read (OS-reaped)."""
+    import tempfile
+
+    from .operators.incremental import SCD2View
+    from .table import SnapshotTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn("seq_no", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("event_id", "seq_no", "user_id", "event_type", "value", "op")
+    )
+    root = tempfile.mkdtemp(prefix="scd2_view_")
+    tbl = SnapshotTable(f"{root}/src", ["user_id"], n_buckets=8)
+    view = SCD2View(f"{root}/view", tbl, n_buckets=8)
+    for b in (0, 1):
+        winners = last_writer_wins(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == b), ["user_id"]
+        )
+        tbl.commit_delta_auto(winners, b)
+        view.refresh(spark)
+    iv = view.read_intervals(spark)
+    return iv.select(
+        "user_id", "event_type", "value",
+        F.col("seq").alias("valid_from"),
+        F.col("valid_to"), F.col("is_current"),
+    )
+
+
 def table_restore(spark, sf_dir):
     """Snapshot RESTORE as a forward diff commit (table.py:restore, the
     Delta-RESTORE analogue with git-revert semantics): events replay into
@@ -933,6 +972,7 @@ ALL_QUERIES = {
     "sessionize": sessionize,
     "incremental_agg_view": incremental_agg_view,
     "table_restore": table_restore,
+    "scd2_view_intervals": scd2_view_intervals,
     "rollup_order_stats": rollup_order_stats,
     "top_orders_per_priority": top_orders_per_priority,
     "median_quantity_by_flag": median_quantity_by_flag,

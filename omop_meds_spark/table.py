@@ -528,6 +528,30 @@ class SnapshotTable:
             out.update(json.loads(p.read_text()).get("metrics") or {})
         return out
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """DESCRIBE-HISTORY analogue: one row per retained commit, newest
+        first — version, manifest kind, committed batch, watermark, touched
+        buckets, and the commit's lineage/metrics as JSON strings. Driver-
+        side log scan (O(retained manifests)), a maintenance accessor."""
+        rows = []
+        for v, kind, p in self._log_entries():
+            d = json.loads(p.read_text())
+            rows.append((
+                int(v), kind,
+                int(d["batch_id"]) if d.get("batch_id") is not None else None,
+                int(d.get("watermark_seq", -1)),
+                len(d.get("files_add") or {}),
+                len(d.get("files_replace") or {}),
+                float(d["committed_at"]) if d.get("committed_at") else None,
+                json.dumps(d.get("lineage") or {}),
+                json.dumps(d.get("metrics") or {}),
+            ))
+        return spark.createDataFrame(
+            list(reversed(rows)),
+            "version long, kind string, batch_id long, watermark_seq long, "
+            "buckets_added int, buckets_replaced int, committed_at double, "
+            "lineage string, metrics string")
+
     # ------------------------------------------------------- tags (refs)
     @property
     def _refs_path(self) -> Path:

@@ -500,3 +500,20 @@ def test_restore_is_a_forward_diff_commit(spark, tmpdir_path):
     assert again == {"restored": False, "changed": 0, "version": t.version}
     # restored rows keep winning: LWW seq is above the old watermark
     assert t.watermark() > 3
+
+
+def test_history_describes_retained_commits(spark, tmpdir_path):
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    for i in range(3):
+        d = _delta(spark, [("r1", "p", i, "U")], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    t.compact(spark)
+    h = t.history(spark).collect()
+    assert [r["version"] for r in h] == [3, 2, 1, 0]          # newest first
+    assert [r["batch_id"] for r in h] == [2, 2, 1, 0]          # compact reuses last batch ctx
+    assert h[0]["buckets_replaced"] > 0                         # the compaction
+    assert all(r["committed_at"] is not None for r in h)
+    import json as _json
+    assert all(isinstance(_json.loads(r["lineage"]), dict) for r in h)
+    t.vacuum(keep_versions=2)
+    assert [r["version"] for r in t.history(spark).collect()] == [3, 2]
