@@ -44,6 +44,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..table import SnapshotTable, bucket_expr
 
@@ -331,18 +332,39 @@ class SCD2View:
             bucket_expr(key, self.table.n_buckets).alias("b"))
             .distinct().collect())
         cur = self.table.read_live(spark, buckets=vbs)
+        new_t = new_logs.schema["_new"].dataType
         if cur is not None:
             j = new_logs.join(
                 cur.select(*key, F.col("history").alias("_old")), key, "left")
+            old_t = j.schema["_old"].dataType
         else:
-            j = new_logs.withColumn(
-                "_old", F.lit(None).cast(new_logs.schema["_new"].dataType))
+            j = new_logs.withColumn("_old", F.lit(None).cast(new_t))
+            old_t = new_t
+        # SCHEMA EVOLUTION across refreshes: the source payload may have
+        # gained/lost/widened columns since the stored logs were written,
+        # and array concat needs one element type — align both sides to
+        # the UNION of fields (new refresh's types win on conflict, old-
+        # only fields ride along as nulls in new entries and vice versa)
+        union_fields = list(new_t.elementType.fields)
+        new_names = {f.name for f in union_fields}
+        union_fields += [f for f in old_t.elementType.fields
+                         if f.name not in new_names]
+
+        def _aligned(col, have):
+            names = {f.name for f in have.elementType.fields}
+            return F.transform(col, lambda x: F.struct(*[
+                (x[f.name].cast(f.dataType) if f.name in names
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in union_fields]))
+
+        union_arr_t = T.ArrayType(T.StructType(union_fields))
         # sorted dedup merge: array_sort orders by (seq, tb, ...) — struct
         # field order IS the sort key; array_distinct folds redeliveries
         # (byte-identical winners). Late rows land in seq position.
         hist = F.array_sort(F.array_distinct(F.concat(
-            F.coalesce(F.col("_old"), F.array().cast(new_logs.schema["_new"].dataType)),
-            F.col("_new"))))
+            F.coalesce(_aligned(F.col("_old"), old_t),
+                       F.array().cast(union_arr_t)),
+            _aligned(F.col("_new"), new_t))))
         out = j.select(
             *key,
             hist.alias("history"),

@@ -78,3 +78,30 @@ def test_scd2_view_log_grain_and_exactly_once(spark, tmpdir_path):
     v2 = SCD2View(f"{tmpdir_path}/view", t)
     assert v2.cursor == t.version
     assert v2.refresh(spark) is False
+
+
+def test_scd2_view_source_schema_evolution(spark, tmpdir_path):
+    """The source payload gains a column between folds: old log entries
+    carry NULL for it, new entries carry it, intervals read coherently —
+    and the reverse (a column the stored logs have but the new feed
+    lacks) also merges."""
+    t = SnapshotTable(f"{tmpdir_path}/src", KEYS, n_buckets=4)
+    v = SCD2View(f"{tmpdir_path}/view", t, n_buckets=4)
+    _commit(spark, t, [("A", "e1", 10, "x", "U")], 0)          # v0: attr only
+    v.refresh(spark)
+    wide = spark.createDataFrame(
+        [("A", "e2", 20, "y", "U", 7)],
+        SCHEMA + ", extra long").withColumn(
+        BUCKET_COL, bucket_expr(KEYS, t.n_buckets))
+    t.commit_delta_auto(wide, 1)                                # v1: + extra
+    v.refresh(spark)
+    got = {(r["seq"], r["attr"], r["extra"], r["valid_to"], r["is_current"])
+           for r in v.read_intervals(spark).collect()}
+    assert got == {(10, "x", None, 20, False), (20, "y", 7, None, True)}
+    # narrow again: the feed drops 'extra'; stored entries keep theirs
+    _commit(spark, t, [("A", "e3", 30, "z", "U")], 2)
+    v.refresh(spark)
+    got = {(r["seq"], r["attr"], r["extra"], r["is_current"])
+           for r in v.read_intervals(spark).collect()}
+    assert got == {(10, "x", None, False), (20, "y", 7, False),
+                   (30, "z", None, True)}
