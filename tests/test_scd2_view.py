@@ -105,3 +105,33 @@ def test_scd2_view_source_schema_evolution(spark, tmpdir_path):
            for r in v.read_intervals(spark).collect()}
     assert got == {(10, "x", None, False), (20, "y", 7, False),
                    (30, "z", None, True)}
+
+
+def test_runner_maintains_scd2_view_end_to_end(spark, tmpdir_path):
+    """SCD2View is runner-attachable like any view (duck-typed refresh):
+    over a real WAL replay, the view's OPEN intervals must equal the
+    table's live state, and its full log must count every commit's
+    winner rows (per-commit grain)."""
+    from pyspark.sql import functions as F
+
+    from omop_meds_spark.runner import CDCRunner
+    from omop_meds_spark.sources.gen import generate_wal
+
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=4000, n_repos=8, paths_per_repo=20,
+                 n_files=6, seed=13)
+    r = CDCRunner(spark, wal, f"{tmpdir_path}/t", n_buckets=8,
+                  files_per_batch=2)
+    v = SCD2View(f"{tmpdir_path}/hist", r.table, n_buckets=8)
+    r.views.append(v)
+    assert r.run()
+    iv = v.read_intervals(spark)
+    open_rows = {(x["repo"], x["path"], x["content_sha256"])
+                 for x in iv.filter(F.col("is_current")).collect()}
+    live = {(x["repo"], x["path"], x["content_sha256"])
+            for x in r.final_state().collect()}
+    assert open_rows == live and len(live) > 0
+    # full log counts every commit's winners exactly once
+    n_log = v.read_log(spark).count()
+    n_feed = r.table.read_changes(spark, since_version=-1).count()
+    assert n_log == n_feed
