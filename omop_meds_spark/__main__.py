@@ -97,14 +97,17 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--cores", type=int, default=None)
 
     mv = sub.add_parser(
-        "view", help="create/refresh an incremental materialized aggregate "
-                     "view over the table's change feed")
+        "view", help="create/refresh an incremental materialized view over "
+                     "the table's change feed (aggregate, or --scd2 history)")
     mv.add_argument("--table", required=True, help="source CDC table root")
     mv.add_argument("--out", required=True, help="view table root")
-    mv.add_argument("--dims", required=True,
-                    help="comma-separated group-by columns")
+    mv.add_argument("--dims", default=None,
+                    help="comma-separated group-by columns (aggregate mode)")
     mv.add_argument("--sum", default="",
                     help="comma-separated measure columns (SUM), optional")
+    mv.add_argument("--scd2", action="store_true",
+                    help="maintain a type-2 HISTORY view instead of an "
+                         "aggregate (per-key version logs; intervals on read)")
     mv.add_argument("--cores", type=int, default=None)
 
     fz = sub.add_parser("finalize", help="write metadata/{dataset.json,codes,subject_splits}")
@@ -180,12 +183,25 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "view":
-        from .operators.incremental import IncrementalAggView
+        from .operators.incremental import IncrementalAggView, SCD2View
         from .schemas import KEY_COLS
         from .table import SnapshotTable
 
         spark = _session(args.cores)
         src = SnapshotTable(args.table, KEY_COLS)
+        if args.scd2:
+            view = SCD2View(args.out, src)
+            before = view.cursor
+            refreshed = view.refresh(spark)
+            iv = view.read_intervals(spark)
+            print(json.dumps({
+                "refreshed": bool(refreshed),
+                "cursor": {"before": before, "after": view.cursor},
+                "intervals": (iv.count() if iv is not None else 0),
+            }))
+            return 0
+        if not args.dims:
+            raise SystemExit("view: --dims is required (or pass --scd2)")
         view = IncrementalAggView(
             args.out, src, dims=args.dims.split(","),
             sum_cols=[c for c in args.sum.split(",") if c])

@@ -34,6 +34,11 @@ def test_cli_full_lifecycle(spark, tmpdir_path, capsys):
     v2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not v2["refreshed"] and v2["groups"] == v1["groups"]  # no-op
 
+    assert main(["view", "--table", tbl, "--out", f"{tmpdir_path}/hist",
+                 "--scd2", "--cores", "8"]) == 0
+    sv = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sv["refreshed"] and sv["intervals"] > 0
+
     assert main(["compact", "--table", tbl, "--cores", "8"]) == 0
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(comp["compacted_buckets"]) > 0
