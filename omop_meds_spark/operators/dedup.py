@@ -372,3 +372,66 @@ def jaccard_pairs_lsh(
     linearly with data and whose self-join is quadratic within a block."""
     cand = minhash_lsh_pairs(df, id_col, text_col, k=k, bands=bands, max_bucket=max_bucket)
     return jaccard_on_candidates(df, cand, id_col, text_col, threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster the near-dup pair graph: connected components by iterative
+    MIN-LABEL propagation — the final dedup-pipeline stage (pairs →
+    clusters → pick one canonical doc per cluster, here min id).
+
+    Returns (doc_id, cluster_id) for EVERY id in ``ids`` (singletons are
+    their own cluster), cluster_id = the component's minimum id — the
+    same deterministic labeling a recursive-CTE closure produces, so an
+    exact SQL oracle exists.
+
+    Iterative by nature (this is GraphX/HashToMin territory, not a single
+    Catalyst plan): each round joins labels to the symmetric edge list,
+    takes the min over (own label, neighbors' labels), and stops when the
+    label-sum fixpoint is reached (labels only ever decrease, so the sum
+    is a monotone convergence witness — one cheap agg action per round,
+    no row-level diff join). Rounds needed = component diameter; near-dup
+    clusters are dense (diameter 2-4 in practice), and each round is two
+    keyed shuffles over O(edges + ids) — at 100 TB this runs like any
+    iterative Spark graph job: persist each generation, unpersist the
+    last, label frame never wider than (id, label).
+    """
+    edges = (pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+             .unionByName(pairs.select(F.col(b_col).alias("a"),
+                                       F.col(a_col).alias("b")))
+             .persist())
+    labels = ids.select(F.col(id_col).alias("doc_id"),
+                        F.col(id_col).alias("cluster_id")).persist()
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    try:
+        for _ in range(max_iter):
+            nbr = (edges.join(labels, edges["a"] == labels["doc_id"])
+                   .groupBy(F.col("b").alias("doc_id"))
+                   .agg(F.min("cluster_id").alias("_nbr_min")))
+            nxt = (labels.join(nbr, "doc_id", "left")
+                   .select("doc_id",
+                           F.least(F.col("cluster_id"),
+                                   F.coalesce(F.col("_nbr_min"),
+                                              F.col("cluster_id")))
+                           .alias("cluster_id"))
+                   .persist())
+            new_sum = nxt.agg(F.sum("cluster_id")).collect()[0][0]
+            labels.unpersist()
+            labels = nxt
+            if new_sum == prev_sum:  # fixpoint: no label decreased
+                break
+            prev_sum = new_sum
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter} rounds "
+                "(component diameter exceeds max_iter — raise it)")
+        # detach the result from the persisted generation before cleanup
+        return labels.select("doc_id", "cluster_id")
+    finally:
+        edges.unpersist()

@@ -959,3 +959,19 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, neighbor_id) AS rank FROM s)
 SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
 """
+
+# transitive closure over the embedding near-dup pair graph: compose the
+# EXACT same pair SQL as a CTE so the cluster oracle can never drift from
+# the pair oracle, then walk it with a recursive CTE (cluster id = the
+# component's min vec_id; singletons map to themselves)
+ORACLES["near_dup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({ORACLES["embedding_near_dup"]}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk AS (
+  SELECT vec_id AS doc_id, vec_id AS reach FROM embeddings
+  UNION
+  SELECT w.doc_id, e.b FROM walk w JOIN edges e ON w.reach = e.a
+)
+SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id
+"""

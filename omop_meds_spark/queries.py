@@ -946,6 +946,19 @@ def embedding_near_dup(spark, sf_dir):
     return SIM.cosine_near_dup_pairs(emb, spark, threshold=0.2, n_planes=6, dim=64)
 
 
+def near_dup_clusters(spark, sf_dir):
+    """Dedup pipeline COMPLETION: near-dup pairs → connected components →
+    deterministic cluster ids (component min). Iterative min-label
+    propagation (operators/dedup.connected_components); the oracle is the
+    recursive-CTE transitive closure over the identical pair set."""
+    from .operators.dedup import connected_components
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = SIM.cosine_near_dup_pairs(emb, spark, threshold=0.2, n_planes=6,
+                                      dim=64)
+    return connected_components(pairs, emb.select("vec_id"))
+
+
 ALL_QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -1008,4 +1021,5 @@ ALL_QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup": embedding_near_dup,
+    "near_dup_clusters": near_dup_clusters,
 }

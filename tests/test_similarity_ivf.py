@@ -70,3 +70,19 @@ def test_ivf_monotone_recall_in_probes(spark):
 
     r1, r4, r8 = recall(1), recall(4), recall(8)
     assert r1 <= r4 <= r8 == 1.0
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Transitivity across a chain (a-b, b-c, c-d => one cluster), an
+    independent pair, and untouched singletons — all labeled by component
+    min; fixpoint detection terminates on the sum witness."""
+    from omop_meds_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]],
+                                "vec_id long")
+    out = {(r["doc_id"], r["cluster_id"])
+           for r in connected_components(pairs, ids).collect()}
+    assert out == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (99, 99)}
