@@ -73,8 +73,15 @@ class StreamingCDCRunner:
         files_per_batch: int = 4,
         n_salts: int = 16,
         salted: bool = False,
+        views: list | None = None,
     ):
         self.spark = spark
+        # incremental materialized views (IncrementalAggView / SCD2View —
+        # anything with .refresh(spark)), refreshed inside foreachBatch
+        # after the micro-batch commits: the streaming twin of
+        # CDCRunner(views=). A crash between commit and refresh self-heals
+        # (the view's lineage cursor folds everything unconsumed next time).
+        self.views = list(views or [])
         self.salted = salted
         self.wal_dir = Path(wal_dir)
         self.table_root = Path(table_root)
@@ -182,6 +189,8 @@ class StreamingCDCRunner:
                 hot = t.hot_buckets(8)
                 if hot:
                     t.compact(self.spark, buckets=hot)
+            for v in self.views:
+                v.refresh(self.spark)
         finally:
             winners.unpersist()
         self.metrics.append(

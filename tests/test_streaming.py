@@ -105,3 +105,36 @@ def test_committed_batch_id_with_different_fileset_fails_loudly(spark, tmpdir_pa
     v = r2.table.version
     r2._apply_files(files[:2], 0)
     assert r2.table.version == v
+
+
+def test_streaming_maintains_views_per_microbatch(spark, tmpdir_path):
+    """The streaming runner refreshes attached incremental views inside
+    foreachBatch (the streaming twin of CDCRunner(views=)): after the
+    stream drains, the aggregate view equals a full recompute over the
+    live state and the SCD2 view's open intervals equal the live rows."""
+    from pyspark.sql import functions as F
+
+    from omop_meds_spark.operators.incremental import IncrementalAggView, SCD2View
+
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=5000, n_repos=10, paths_per_repo=24,
+                 n_files=6, seed=31)
+    r = StreamingCDCRunner(spark, wal, f"{tmpdir_path}/table", n_buckets=8,
+                           files_per_batch=2)
+    agg = IncrementalAggView(f"{tmpdir_path}/mv", r.table, dims=["lang"],
+                             sum_cols=["token_count"], n_buckets=4)
+    hist = SCD2View(f"{tmpdir_path}/hist", r.table, n_buckets=8)
+    r.views += [agg, hist]
+    assert r.run_available()
+    # both views are exactly at the head — refreshed per micro-batch
+    assert agg.cursor == r.table.version and hist.cursor == r.table.version
+    got = {(x["lang"], x["n_rows"]) for x in agg.read(spark).collect()}
+    want = {(x["lang"], x["n"]) for x in r.final_state().groupBy("lang")
+            .agg(F.count("*").alias("n")).collect()}
+    assert got == want
+    open_rows = {(x["repo"], x["path"], x["content_sha256"])
+                 for x in hist.read_intervals(spark)
+                 .filter(F.col("is_current")).collect()}
+    live = {(x["repo"], x["path"], x["content_sha256"])
+            for x in r.final_state().collect()}
+    assert open_rows == live
