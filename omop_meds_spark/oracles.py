@@ -975,3 +975,20 @@ walk AS (
 )
 SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id
 """
+
+ORACLES["stratified_sample"] = f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_md5l("doc_id::VARCHAR")}, doc_id) AS sample_rank
+  FROM documents)
+SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 30
+"""
+
+ORACLES["token_packing"] = """
+SELECT source, doc_id, n_chars,
+       ((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars)
+        / 20000)::BIGINT AS bin_id
+FROM documents
+"""

@@ -946,6 +946,37 @@ def embedding_near_dup(spark, sf_dir):
     return SIM.cosine_near_dup_pairs(emb, spark, threshold=0.2, n_planes=6, dim=64)
 
 
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for train/eval splits: per
+    language, keep the 30 documents with the smallest md5 hash (uniform-
+    random within the stratum, yet reproducible across runs and engines —
+    the property Bernoulli sampling lacks). One keyed window exchange;
+    at 100 TB the rank is a per-stratum top-k, never a global sort."""
+    docs = t(spark, sf_dir, "documents")
+    h = TX.md5_long(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (docs.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= 30)
+            .select("lang", "doc_id", "sample_rank"))
+
+
+def token_packing(spark, sf_dir):
+    """Context-window packing: per source, documents are packed in doc_id
+    order into contiguous budget bins of 20k chars — bin id = the bin the
+    doc's cumulative START falls into (greedy fill; a doc may straddle
+    its bin's end, the standard sequence-packing grain). One window
+    cumsum per source partition — the deterministic, shuffle-minimal way
+    to batch corpora for tokenizer workers."""
+    docs = t(spark, sf_dir, "documents")
+    w = (W.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = F.sum("n_chars").over(w)
+    return docs.select(
+        "source", "doc_id", "n_chars",
+        ((cum - F.col("n_chars")) / F.lit(20000)).cast("long").alias("bin_id"),
+    )
+
+
 def near_dup_clusters(spark, sf_dir):
     """Dedup pipeline COMPLETION: near-dup pairs → connected components →
     deterministic cluster ids (component min). Iterative min-label
@@ -1022,4 +1053,6 @@ ALL_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup": embedding_near_dup,
     "near_dup_clusters": near_dup_clusters,
+    "stratified_sample": stratified_sample,
+    "token_packing": token_packing,
 }
