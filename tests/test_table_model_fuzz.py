@@ -22,7 +22,11 @@ model, and asserts after EVERY operation:
 * per-bucket resume offsets max-merge on commits, RESET + re-key on a
   layout change (the manifest shape ``rebucket()`` publishes), and the
   bucket layout replays correctly per version — including a fresh open
-  healing a stale ``_table.json`` mirror from the log.
+  healing a stale ``_table.json`` mirror from the log;
+* snapshot TAGS pin their version (and the contiguous suffix above the
+  pinned floor) through any vacuum until dropped, and ``fsck`` is clean
+  on a healthy table at every point in the sequence, reports exactly the
+  injected junk, and sweeps only that.
 
 No reference-repo analogue: the reference's resume model is per-file
 ``.done`` markers (reference: src/OMOP_MEDS/pre_meds.py:74-79); the
@@ -52,6 +56,7 @@ class _Model:
         self.watermark: int = -1
         self.n_buckets: int = n_buckets
         self.offsets: dict[str, int] = {}
+        self.tags: dict[str, int] = {}
 
     def _next_files(self) -> dict[str, list[str]]:
         if self.latest < 0:
@@ -86,9 +91,13 @@ class _Model:
         self.layout[self.latest] = self.n_buckets
 
     def vacuum(self, keep_versions: int) -> None:
-        if len(self.versions) <= keep_versions:
+        vs = sorted(self.versions)
+        if len(vs) <= keep_versions:
             return
-        floor = sorted(self.versions)[-keep_versions]
+        floor = vs[-keep_versions]
+        pinned = {v for v in self.tags.values() if v in self.versions}
+        if pinned:  # tags drag the retention floor down (engine contract)
+            floor = min(floor, min(pinned))
         self.versions = {v: f for v, f in self.versions.items() if v >= floor}
         self.layout = {v: n for v, n in self.layout.items() if v >= floor}
 
@@ -188,11 +197,43 @@ def test_log_maintenance_model_fuzz(tmpdir_path, seed):
                     t._stamp_table_meta()
                 m.commit({}, repl, None, m.watermark, offsets=offs,
                          offsets_reset=True, n_buckets=new_n)
-        elif op < 0.86:  # manual checkpoint (the round-3 bug trigger)
+        elif op < 0.80:  # manual checkpoint (the round-3 bug trigger)
             t.checkpoint()
+        elif op < 0.84:  # tag / drop_tag (pins gate vacuum retention)
+            name = f"tag{rng.randrange(4)}"
+            if rng.random() < 0.3 and m.tags:
+                victim = rng.choice(sorted(m.tags))
+                assert t.drop_tag(victim) is True
+                del m.tags[victim]
+            elif m.latest >= 0:
+                v = rng.choice(sorted(m.versions))
+                if name in m.tags and m.tags[name] != v:
+                    with pytest.raises(ValueError):
+                        t.tag(name, v)  # moving a tag is an error
+                else:
+                    assert t.tag(name, v) == v
+                    m.tags[name] = v
+            assert t.tags() == m.tags
+        elif op < 0.88:  # fsck: healthy -> clean; scattered junk -> swept
+            rep = t.fsck()
+            assert rep["orphan_files"] == [] and rep["torn_manifests"] == []
+            junk = f"data/junk{next_file:05d}/orphan.parquet"
+            _touch(t.root, junk)
+            (t.root / "_log" / ".tmp.vX-delta.json").write_text("{}")
+            rep = t.fsck()
+            assert rep["orphan_files"] == [junk]
+            assert rep["torn_manifests"] == [".tmp.vX-delta.json"]
+            assert t.fsck(remove=True)["removed"] == 2
+            assert not (t.root / junk).exists()
+            assert t.fsck() == {"orphan_files": [], "torn_manifests": [],
+                                "removed": 0}
         else:  # vacuum under a random retention window
             k = rng.randint(1, 4)
-            ran = len(m.versions) > k  # below the floor vacuum is a no-op
+            pinned = {v for v in m.tags.values() if v in m.versions}
+            floor = (sorted(m.versions)[-k] if len(m.versions) > k else None)
+            if floor is not None and pinned:
+                floor = min(floor, min(pinned))
+            ran = floor is not None and any(v < floor for v in m.versions)
             t.vacuum(keep_versions=k)
             m.vacuum(k)
             live = m.referenced()
