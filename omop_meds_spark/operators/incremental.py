@@ -404,3 +404,17 @@ class SCD2View:
             return None
         return scd2_history(log, list(self.source.key_cols), seq_col="seq",
                             tiebreak_col="tb", op_col="op")
+
+    def read_asof(self, spark: SparkSession, seq: int) -> DataFrame | None:
+        """Dimension state AS OF sequence position ``seq``: each key's
+        version whose [valid_from, valid_to) interval contains ``seq``
+        (keys deleted at that point have no covering interval and are
+        absent) — the point-in-time read SCD2 exists to answer, without
+        replaying the source. Same single window exchange as
+        read_intervals, then a codegen filter."""
+        iv = self.read_intervals(spark)
+        if iv is None:
+            return None
+        return iv.filter(
+            (F.col("valid_from") <= F.lit(seq))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(seq))))

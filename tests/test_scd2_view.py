@@ -135,3 +135,21 @@ def test_runner_maintains_scd2_view_end_to_end(spark, tmpdir_path):
     n_log = v.read_log(spark).count()
     n_feed = r.table.read_changes(spark, since_version=-1).count()
     assert n_log == n_feed
+
+
+def test_scd2_view_read_asof(spark, tmpdir_path):
+    """Point-in-time reads from the history view: the covering interval's
+    payload per key; deleted-at-that-point keys are absent."""
+    t = SnapshotTable(f"{tmpdir_path}/src", KEYS, n_buckets=4)
+    v = SCD2View(f"{tmpdir_path}/view", t, n_buckets=4)
+    for b, rows in enumerate(BATCHES):
+        _commit(spark, t, rows, b)
+    v.refresh(spark)
+
+    def asof(s):
+        return {(r["k"], r["attr"]) for r in v.read_asof(spark, s).collect()}
+
+    assert asof(25) == {("A", "mid"), ("B", "p")}   # mid interval for both
+    assert asof(35) == {("A", "y")}                  # B deleted at seq 31
+    assert asof(45) == {("A", "y"), ("B", "r")}      # B re-inserted at 40
+    assert asof(5) == set()                          # before any version
