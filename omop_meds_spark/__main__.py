@@ -88,6 +88,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="unlink the orphans (writer-lease-guarded); "
                          "default is report-only")
 
+    tg = sub.add_parser("tag", help="pin a named snapshot ref that survives "
+                                    "vacuum (no Spark)")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--version", type=int, default=None,
+                    help="version to pin (default: current)")
+    tg.add_argument("--drop", action="store_true",
+                    help="drop the tag instead of creating it")
+
+    rs = sub.add_parser("restore", help="revert live content to a snapshot "
+                                        "as a FORWARD diff commit")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--version", type=int, default=None)
+    rs.add_argument("--ref", default=None, help="tag name (alternative to --version)")
+    rs.add_argument("--cores", type=int, default=None)
+
     rb = sub.add_parser(
         "rebucket", help="transactionally change the table's bucket count "
                          "(one full LWW rewrite; layout flips at the commit)")
@@ -157,6 +173,29 @@ def main(argv: list[str] | None = None) -> int:
         from .table import SnapshotTable
 
         print(json.dumps(SnapshotTable(args.table, KEY_COLS).fsck(remove=args.remove)))
+        return 0
+
+    if args.cmd == "tag":
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        t = SnapshotTable(args.table, KEY_COLS)
+        if args.drop:
+            print(json.dumps({"dropped": t.drop_tag(args.name),
+                              "tags": t.tags()}))
+        else:
+            v = t.tag(args.name, args.version)
+            print(json.dumps({"tagged": args.name, "version": v,
+                              "tags": t.tags()}))
+        return 0
+
+    if args.cmd == "restore":
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        spark = _session(args.cores)
+        t = SnapshotTable(args.table, KEY_COLS)
+        print(json.dumps(t.restore(spark, version=args.version, ref=args.ref)))
         return 0
 
     if args.cmd == "compact":

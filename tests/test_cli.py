@@ -58,6 +58,19 @@ def test_cli_full_lifecycle(spark, tmpdir_path, capsys):
     fs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert fs == {"orphan_files": [], "torn_manifests": [], "removed": 0}
 
+    # tag the current snapshot, restore to it after nothing changed (no-op
+    # diff), then drop the tag
+    assert main(["tag", "--table", tbl, "--name", "rel-1"]) == 0
+    tg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert tg["tagged"] == "rel-1" and "rel-1" in tg["tags"]
+    assert main(["restore", "--table", tbl, "--ref", "rel-1",
+                 "--cores", "8"]) == 0
+    rs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rs["restored"] is False and rs["changed"] == 0
+    assert main(["tag", "--table", tbl, "--name", "rel-1", "--drop"]) == 0
+    dg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dg["dropped"] is True and dg["tags"] == {}
+
     # a NEW view over the vacuumed table bootstraps from live state
     assert main(["view", "--table", tbl, "--out", f"{tmpdir_path}/mv2",
                  "--dims", "lang", "--cores", "8"]) == 0
