@@ -65,6 +65,52 @@ def valid_event_cond(key_cols: list[str] = KEY_COLS) -> F.Column:
     return cond
 
 
+def valid_cond_with(constraints: list[str]) -> F.Column:
+    """Structural validity AND every user CHECK constraint (NULL-unsafe on
+    purpose: the quarantine side coalesces to False, so a NULL predicate
+    row is quarantined, never dropped)."""
+    cond = valid_event_cond()
+    for c in constraints:
+        cond = cond & F.expr(c)
+    return cond
+
+
+def quarantine_batch(events: DataFrame, dlq_root: Path, batch_id: int,
+                     constraints: list[str]) -> int:
+    """Write the batch's invalid rows (structural + CHECK-constraint
+    violators) to ``{dlq_root}/b{batch_id}`` with full payload and the
+    first failing check in ``_reject_reason``; returns the quarantined
+    row count from the written parquet footers (no second Spark action).
+    Overwrite mode keeps crash-replay idempotent. Shared by the batch and
+    streaming runners. Three-valued-logic rule: a NULL predicate row goes
+    to the quarantine side, never silently dropped."""
+    out = Path(dlq_root) / f"b{batch_id:06d}"
+    bad = events.filter(~F.coalesce(valid_cond_with(constraints), F.lit(False)))
+    reason = F.when(~F.coalesce(valid_event_cond(), F.lit(False)),
+                    F.lit("structural"))
+    for c in constraints:
+        reason = reason.when(~F.coalesce(F.expr(c), F.lit(False)),
+                             F.lit(f"constraint: {c}"))
+    bad = bad.withColumn("_reject_reason", reason)
+    bad.write.mode("overwrite").parquet(str(out))
+    import pyarrow.parquet as pq
+
+    n = sum(pq.ParquetFile(p).metadata.num_rows for p in out.glob("*.parquet"))
+    if n == 0:  # keep the DLQ dir = the set of batches with rejects
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+    return n
+
+
+def read_dlq_dir(spark: SparkSession, dlq_root: Path) -> DataFrame | None:
+    """All quarantined events across batches (None if the DLQ is empty)."""
+    dirs = sorted(str(p) for p in Path(dlq_root).glob("b*") if p.is_dir())
+    if not dirs:
+        return None
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+
 def merge_commit_target(
     spark: SparkSession,
     table: SnapshotTable,
@@ -330,52 +376,17 @@ class CDCRunner:
         return m
 
     def _valid_cond(self) -> F.Column:
-        """Structural validity AND every user constraint (NULL-unsafe on
-        purpose: the quarantine side coalesces to False, so a NULL
-        predicate row is quarantined, never dropped)."""
-        cond = valid_event_cond()
-        for c in self.constraints:
-            cond = cond & F.expr(c)
-        return cond
+        return valid_cond_with(self.constraints)
 
     def _quarantine(self, events: DataFrame, batch_id: int) -> int:
-        """Write the batch's structurally invalid rows (if any) to
-        ``{table_root}/dlq/b{batch_id}`` with full payload; returns the
-        quarantined row count from the written parquet footers (no second
-        Spark action). Overwrite mode keeps crash-replay idempotent: the
-        same batch always produces the same quarantine set. NOTE the
-        three-valued-logic trap: a NULL op makes ``valid_event_cond``
-        NULL, and ``filter(~cond)`` would silently drop the row from BOTH
-        sides — the bad side must coalesce the predicate to False first."""
-        out = self.dlq_root / f"b{batch_id:06d}"
-        bad = events.filter(~F.coalesce(self._valid_cond(), F.lit(False)))
-        # first failing check, for the operator reading the DLQ: the
-        # structural test, then each constraint in declaration order
-        reason = F.when(~F.coalesce(valid_event_cond(), F.lit(False)),
-                        F.lit("structural"))
-        for c in self.constraints:
-            reason = reason.when(~F.coalesce(F.expr(c), F.lit(False)),
-                                 F.lit(f"constraint: {c}"))
-        bad = bad.withColumn("_reject_reason", reason)
-        bad.write.mode("overwrite").parquet(str(out))
-        import pyarrow.parquet as pq
-
-        n = sum(pq.ParquetFile(p).metadata.num_rows
-                for p in out.glob("*.parquet"))
-        if n == 0:  # keep the DLQ dir = the set of batches with rejects
-            import shutil
-
-            shutil.rmtree(out, ignore_errors=True)
-        return n
+        return quarantine_batch(events, self.dlq_root, batch_id,
+                                self.constraints)
 
     def read_dlq(self, spark: SparkSession) -> DataFrame | None:
         """All quarantined events across batches (None if the DLQ is
         empty) — the operator's replay/inspection surface: fix upstream,
         re-emit through the WAL, never hand-edit state."""
-        dirs = sorted(str(p) for p in self.dlq_root.glob("b*") if p.is_dir())
-        if not dirs:
-            return None
-        return spark.read.option("mergeSchema", "true").parquet(*dirs)
+        return read_dlq_dir(spark, self.dlq_root)
 
     def run(self) -> list[dict]:
         """Replay the whole WAL (skipping committed batches — resume)."""

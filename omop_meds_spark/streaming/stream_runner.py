@@ -74,6 +74,8 @@ class StreamingCDCRunner:
         n_salts: int = 16,
         salted: bool = False,
         views: list | None = None,
+        dlq: bool = False,
+        constraints: list[str] | None = None,
     ):
         self.spark = spark
         # incremental materialized views (IncrementalAggView / SCD2View —
@@ -82,6 +84,13 @@ class StreamingCDCRunner:
         # CDCRunner(views=). A crash between commit and refresh self-heals
         # (the view's lineage cursor folds everything unconsumed next time).
         self.views = list(views or [])
+        # DLQ + CHECK constraints: the streaming twin of CDCRunner(dlq=,
+        # constraints=) — same shared quarantine kernel, same
+        # {table}/dlq/b{batch} layout, so read_dlq works over either
+        # runner's output. Constraints imply the split.
+        self.constraints = list(constraints or [])
+        self.dlq = dlq or bool(self.constraints)
+        self.dlq_root = Path(table_root) / "dlq"
         self.salted = salted
         self.wal_dir = Path(wal_dir)
         self.table_root = Path(table_root)
@@ -168,6 +177,14 @@ class StreamingCDCRunner:
         from ..runner import normalize_events
 
         events = self._reader.read_batch(self.spark, batch, self.registry)
+        n_quarantined = 0
+        if self.dlq:
+            from ..runner import quarantine_batch, valid_cond_with
+
+            n_quarantined = quarantine_batch(events, self.dlq_root, batch_id,
+                                             self.constraints)
+            if n_quarantined:
+                events = events.filter(valid_cond_with(self.constraints))
         # identical-payload redelivery needs no dedup shuffle — max_by over
         # (seq_no, event_id) is idempotent under duplicate copies.
         # LWW first, normalize only the winners (see CDCRunner.apply_batch).
@@ -177,6 +194,8 @@ class StreamingCDCRunner:
         try:
             lineage = {"files": list(batch.files),
                        "schema_version": self.registry.version, "mode": "streaming"}
+            if self.dlq:
+                lineage["dlq_rows"] = n_quarantined
             stats = merge_commit_target(
                 self.spark, self.table, winners, batch_id,
                 lineage=lineage, schema_json=self.registry.schema_json(),

@@ -145,10 +145,46 @@ def test_constraints_route_violations_to_dlq_with_reason(spark, tmpdir_path):
         "sem-2": "constraint: op <> 'U' OR length(lang) > 0",
         "bad-s": "structural",
     }
-    # applied state == replay of the pristine WAL (violators never applied)
+    # applied state == replay of the pristine WAL (EVERY injected row in
+    # this test quarantined, so no exclusion filter needed)
     from omop_meds_spark.verify import pandas_fingerprint, state_fingerprint
 
     cols = ["repo", "path", "commit", "lang", "seq_no"]
     pdf = replay_oracle(f"{tmpdir_path}/wal_orig")
     assert state_fingerprint(r.final_state().select(*cols), cols) == \
+        pandas_fingerprint(pdf[cols], cols)
+
+
+def test_streaming_dlq_matches_batch_dlq(spark, tmpdir_path):
+    """The streaming runner quarantines the SAME rows through the shared
+    kernel and its applied state matches a pristine-WAL replay —
+    batch/streaming DLQ parity."""
+    import shutil
+
+    from omop_meds_spark.runner import read_dlq_dir
+    from omop_meds_spark.streaming.stream_runner import StreamingCDCRunner
+
+    wal = f"{tmpdir_path}/wal"
+    generate_wal(wal, n_events=2000, n_repos=4, paths_per_repo=6, n_files=3,
+                 seed=7)
+    shutil.copytree(wal, f"{tmpdir_path}/wal_orig")
+    _inject_malformed(wal)
+
+    r = StreamingCDCRunner(spark, wal, f"{tmpdir_path}/tbl", n_buckets=8,
+                           files_per_batch=2, dlq=True)
+    r.run_available()
+    dlq = read_dlq_dir(spark, r.dlq_root)
+    got = {(row["event_id"], row["_reject_reason"]) for row in dlq.collect()}
+    assert got == {("bad-1", "structural"), ("bad-2", "structural"),
+                   ("bad-3", "structural")}
+    from omop_meds_spark.verify import pandas_fingerprint, state_fingerprint
+
+    # rest of the table == pristine-WAL oracle (the injected VALID row in
+    # the malformed segment applied, like the batch test asserts)
+    state = r.final_state()
+    assert state.filter(state.path == "p_dlq").count() == 1
+    cols = ["repo", "path", "commit", "lang", "seq_no"]
+    pdf = replay_oracle(f"{tmpdir_path}/wal_orig")
+    assert state_fingerprint(
+        state.filter(state.path != "p_dlq").select(*cols), cols) == \
         pandas_fingerprint(pdf[cols], cols)
