@@ -266,3 +266,27 @@ def test_salted_join_semantics(spark):
         "s", F.pmod(F.xxhash64(F.struct(*fact.columns)), F.lit(4)))
         .filter(F.col("k") == 1).select("s").distinct().count())
     assert salts > 1
+
+
+def test_stratified_sample_single_exchange(spark):
+    """Per-stratum top-k: one hash exchange on the stratum key, no global
+    sort (a global Sort would mean someone rewrote it as orderBy+limit)."""
+    plan = _plan(spark, "stratified_sample")
+    assert _exchanges(plan) == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_token_packing_single_exchange(spark):
+    """Cumulative-sum binning: one hash exchange on source for the window;
+    scan pruned to the three consumed columns."""
+    plan = _plan(spark, "token_packing")
+    assert _exchanges(plan) == 1, plan
+    assert "text" not in plan.split("ReadSchema")[-1], plan
+
+
+def test_scd2_query_single_exchange(spark):
+    """The SCD2 queries keep the operator's one-exchange guarantee when
+    driven over the real events table."""
+    for q in ("scd2_history", "scd2_change_only"):
+        plan = _plan(spark, q)
+        assert _exchanges(plan) == 1, f"{q}:\n{plan}"
