@@ -102,6 +102,24 @@ def bucket_expr(key_cols: list[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def zorder_value(quantized: list[F.Column], bits: int = 16) -> F.Column:
+    """Interleave the low ``bits`` bits of each quantized column into one
+    Z-value (Morton code): sorting by it clusters rows so that CONTIGUOUS
+    runs have bounded ranges in EVERY input dimension at once — the
+    multi-column generalization of lexicographic clustering, where only
+    the leading column's ranges tighten. Pure Column bit algebra (one
+    codegen projection, no shuffle); callers quantize each column to
+    [0, 2^bits) first (min/max scaling — see ``compact(cluster_mode=
+    'zorder')``)."""
+    z = F.lit(0).cast("long")
+    k = len(quantized)
+    for j in range(bits):
+        for i, q in enumerate(quantized):
+            bit = F.shiftright(q.cast("long"), j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
+    return z
+
+
 def _empty_state() -> dict:
     return {
         "version": -1,
@@ -1021,7 +1039,8 @@ class SnapshotTable:
 
     def compact(self, spark: SparkSession, key_reduce=None,
                 buckets: list[int] | None = None,
-                cluster_by: list[str] | None = None) -> bool:
+                cluster_by: list[str] | None = None,
+                cluster_mode: str = "lex") -> bool:
         """Fold a bucket's delta generations into one (LWW-reduced,
         tombstones retained). ``buckets=None`` compacts the whole table;
         passing ``hot_buckets(threshold)`` makes compaction INCREMENTAL —
@@ -1040,7 +1059,17 @@ class SnapshotTable:
         pushed-down range filter) skips whole row groups inside the file —
         the intra-file complement to the manifest's per-file zone maps.
         Sorting happens within the already-bucketed partitions (no extra
-        exchange beyond compaction's own repartition)."""
+        exchange beyond compaction's own repartition).
+
+        ``cluster_mode="zorder"`` sorts by the MORTON CODE of the
+        ``cluster_by`` columns instead of lexicographically (Delta
+        OPTIMIZE ZORDER proper): each column is min/max-quantized to 16
+        bits (one cheap agg pass) and the bits interleaved
+        (``zorder_value``), so contiguous row runs — and therefore parquet
+        row groups — carry tight bounds on EVERY cluster column at once,
+        not just the leading one. Use it when ranged reads filter on more
+        than one column; numeric/timestamp columns only (quantization is
+        linear min/max — wild outliers compress the useful range)."""
         prev = self._load_state()
         if prev is None:
             return False
@@ -1063,15 +1092,40 @@ class SnapshotTable:
         )
         tag = f"compact{prev['version'] + 1:06d}"
         reduced = reduced.repartition(max(len(target), 1), F.col(BUCKET_COL))
-        if cluster_by:
+        if cluster_by and cluster_mode == "zorder":
+            # one agg pass for the quantization bounds (maintenance path —
+            # persist so the LWW reduce upstream computes once)
+            reduced = reduced.persist()
+            bounds = reduced.agg(*[f(F.col(c).cast("double")).alias(f"{t}_{c}")
+                                   for c in cluster_by
+                                   for t, f in (("mn", F.min), ("mx", F.max))]
+                                 ).collect()[0]
+            quant = []
+            for c in cluster_by:
+                mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+                span = (mx - mn) if (mn is not None and mx is not None
+                                     and mx > mn) else 1.0
+                base = mn if mn is not None else 0.0
+                q = F.floor((F.coalesce(F.col(c).cast("double"), F.lit(base))
+                             - F.lit(base)) / F.lit(span) * F.lit(65535.0))
+                quant.append(F.least(F.greatest(q, F.lit(0)), F.lit(65535)))
+            reduced = reduced.withColumn("__z", zorder_value(quant))
+            reduced = reduced.sortWithinPartitions(BUCKET_COL, "__z").drop("__z")
+        elif cluster_by:
             reduced = reduced.sortWithinPartitions(
                 BUCKET_COL, *[F.col(c) for c in cluster_by])
-        new_files = self._write_bucketed(reduced, tag, target)
+        try:
+            new_files = self._write_bucketed(reduced, tag, target)
+        finally:
+            if cluster_by and cluster_mode == "zorder":
+                reduced.unpersist()
         self._publish(batch_id=prev["batch_id"],
                       files_replace={str(b): new_files.get(str(b), []) for b in target},
                       watermark_seq=prev.get("watermark_seq", -1),
                       lineage={"compaction": True, "buckets": target,
-                               **({"cluster_by": cluster_by} if cluster_by else {})},
+                               **({"cluster_by": cluster_by,
+                                   "cluster_mode": cluster_mode}
+                                  if cluster_by else {})},
                       file_stats=self._collect_file_stats(new_files),
                       add_committed=False)
         return True

@@ -173,3 +173,46 @@ def test_stat_helpers_edge_cases():
     assert _stats_overlap([5, 5], 5, 5)
     assert not _stats_overlap([5, 5], 6, None)
     assert _stats_overlap({}, 0, 1)  # no stats recorded: never prune
+
+
+def test_zorder_compaction_bounds_every_dimension(spark, tmpdir_path):
+    """Z-order vs lexicographic clustering over two INDEPENDENT uniform
+    columns: slicing the compacted file into contiguous chunks (what
+    parquet row groups are at scale), lexicographic order leaves the
+    SECOND column's per-chunk span at ~the full range, while the Morton
+    order bounds both dimensions — the property row-group pruning needs
+    on multi-column ranged reads. Also: identical row SET either way."""
+    import pyarrow.parquet as pq
+
+    from omop_meds_spark.table import SnapshotTable, bucket_expr, BUCKET_COL
+
+    rows = [("k%04d" % i, "p", i,
+             (i * 48271) % 9973,          # dim a: uniform, independent of b
+             (i * 69621) % 9973, "U")     # dim b: uniform, independent of a
+            for i in range(4000)]
+    schema = "repo string, path string, seq_no long, a long, b long, op string"
+
+    def spans(root_dir, mode):
+        t = SnapshotTable(f"{root_dir}/{mode}", ["repo", "path"], n_buckets=1)
+        df = spark.createDataFrame(rows, schema).withColumn(
+            BUCKET_COL, bucket_expr(["repo", "path"], 1))
+        t.commit_delta_auto(df, 0)
+        assert t.compact(spark, cluster_by=["a", "b"], cluster_mode=mode)
+        fs = [f for fs_ in t.latest()["files"].values() for f in fs_]
+        tbl = pq.read_table(str(t.root / fs[0]), columns=["a", "b"]).to_pandas()
+        n, k = len(tbl), 8
+        out = {}
+        for c in ("a", "b"):
+            chunk_spans = [tbl[c][i * n // k:(i + 1) * n // k].agg(["min", "max"])
+                           for i in range(k)]
+            out[c] = sum(mx - mn for mn, mx in chunk_spans) / k
+        return out, {(r.a, r.b) for r in tbl.itertuples()}
+
+    lex, rows_lex = spans(tmpdir_path, "lex")
+    zed, rows_z = spans(tmpdir_path, "zorder")
+    full = 9973
+    assert lex["a"] < 0.25 * full          # leading column: both modes tight
+    assert zed["a"] < 0.6 * full
+    assert lex["b"] > 0.8 * full           # lex leaves b unclustered…
+    assert zed["b"] < 0.6 * full           # …z-order bounds it too
+    assert rows_lex == rows_z              # clustering never changes content
