@@ -88,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="unlink the orphans (writer-lease-guarded); "
                          "default is report-only")
 
+    dq = sub.add_parser("dlq", help="inspect the dead-letter queue")
+    dq.add_argument("--table", required=True)
+    dq.add_argument("--cores", type=int, default=None)
+
     tg = sub.add_parser("tag", help="pin a named snapshot ref that survives "
                                     "vacuum (no Spark)")
     tg.add_argument("--table", required=True)
@@ -173,6 +177,22 @@ def main(argv: list[str] | None = None) -> int:
         from .table import SnapshotTable
 
         print(json.dumps(SnapshotTable(args.table, KEY_COLS).fsck(remove=args.remove)))
+        return 0
+
+    if args.cmd == "dlq":
+        from pathlib import Path
+
+        from .runner import read_dlq_dir
+
+        spark = _session(args.cores)
+        df = read_dlq_dir(spark, Path(args.table) / "dlq")
+        if df is None:
+            print(json.dumps({"quarantined": 0, "by_reason": {}}))
+            return 0
+        by_reason = {r["_reject_reason"]: r["n"] for r in
+                     df.groupBy("_reject_reason").count()
+                     .withColumnRenamed("count", "n").collect()}
+        print(json.dumps({"quarantined": df.count(), "by_reason": by_reason}))
         return 0
 
     if args.cmd == "tag":

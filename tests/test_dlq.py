@@ -153,6 +153,10 @@ def test_constraints_route_violations_to_dlq_with_reason(spark, tmpdir_path):
     pdf = replay_oracle(f"{tmpdir_path}/wal_orig")
     assert state_fingerprint(r.final_state().select(*cols), cols) == \
         pandas_fingerprint(pdf[cols], cols)
+    # the CLI inspection surface aggregates by reason
+    from omop_meds_spark.__main__ import main
+
+    assert main(["dlq", "--table", f"{tmpdir_path}/tbl", "--cores", "8"]) == 0
 
 
 def test_streaming_dlq_matches_batch_dlq(spark, tmpdir_path):
