@@ -360,10 +360,12 @@ def run_controlled(
         "protocol": "warm-JVM interleaved single-batch trials "
                     f"(batch={results[hi_c][0]['n_events']} events, same batch both sides); "
                     "adaptive sampling; valid pair = both members <= 1.25x side floor "
-                    "and efficiency <= 1.0; headline = median over valid "
-                    "pairs (same-phase by construction — multiplicative "
-                    "host phases cancel in the ratio; fallback: capped "
-                    "floor ratio)",
+                    "and efficiency <= 1.0; headline = capped FLOOR RATIO "
+                    "(noise is additive-positive so floors converge from "
+                    "above; same-time pair medians are biased low — the "
+                    "hi-core wall is ~4x shorter so its relative noise is "
+                    "~4x larger); pair medians recorded alongside as the "
+                    "cross-check",
         "pair": {"N": lo_c, "4N": hi_c},
         "trials": results,
         "pair_efficiencies": pairs,

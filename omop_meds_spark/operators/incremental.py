@@ -149,6 +149,8 @@ class IncrementalAggView:
             parts = [self._signed(d, s) for d, s in ((new, 1), (old, -1))
                      if d is not None]
         if not parts:
+            if keys is not None:
+                keys.unpersist()  # the early return skips the finally below
             # carry the recorded schema forward: an empty fold must not
             # re-stamp the view's key column types (point lookups hash by
             # the stored schema — see table.key_bucket)

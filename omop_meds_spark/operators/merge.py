@@ -68,13 +68,16 @@ def merge_into(
     t_present = F.col(f"t.{_T_FLAG}").isNotNull()
     s_present = F.col(f"s.{_S_FLAG}").isNotNull()
     matched = t_present & s_present
-    delete_row = matched & matched_delete if matched_delete is not None \
-        else F.lit(False)
-    update_row = matched & ~delete_row & matched_update \
+    # ANSI MERGE: a branch condition that evaluates to NULL does NOT fire
+    # (it is not "unknown → drop"), so every user condition is coalesced
+    # to False before it can veto `keep`.
+    delete_row = matched & F.coalesce(matched_delete, F.lit(False)) \
+        if matched_delete is not None else F.lit(False)
+    update_row = matched & ~delete_row & F.coalesce(matched_update, F.lit(False)) \
         if matched_update is not None else F.lit(False)
     insert_row = s_present & ~t_present & F.lit(insert)
     if insert_when is not None:
-        insert_row = insert_row & insert_when
+        insert_row = insert_row & F.coalesce(insert_when, F.lit(False))
 
     keep = ~delete_row & (t_present | insert_row)
     if update_set is None:

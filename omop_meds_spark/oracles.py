@@ -989,6 +989,6 @@ ORACLES["token_packing"] = """
 SELECT source, doc_id, n_chars,
        ((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
                             ROWS UNBOUNDED PRECEDING) - n_chars)
-        / 20000)::BIGINT AS bin_id
+        // 20000) AS bin_id
 FROM documents
 """

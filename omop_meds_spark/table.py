@@ -81,6 +81,13 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "__bucket"
 
+# Maintenance commits (restore) take batch ids from a namespace disjoint
+# from the WAL tail's plan positions (0..n-1): defaulting to
+# max(committed)+1 would STEAL the id of the source's next batch, which
+# exactly-once resume would then skip as already applied. One id per
+# maintenance commit parks in committed_extra (bounded: one entry each).
+MAINT_BATCH_BASE = 1 << 40
+
 _LOG_RE = re.compile(r"^v(\d{8})-(ckpt|delta)\.json$")
 
 
@@ -110,12 +117,20 @@ def zorder_value(quantized: list[F.Column], bits: int = 16) -> F.Column:
     the leading column's ranges tighten. Pure Column bit algebra (one
     codegen projection, no shuffle); callers quantize each column to
     [0, 2^bits) first (min/max scaling — see ``compact(cluster_mode=
-    'zorder')``)."""
-    z = F.lit(0).cast("long")
+    'zorder')``).
+
+    The interleaved width is capped at 63 bits total (the long sign bit
+    must stay clear or top-range rows sort FIRST; Java shifts are mod 64,
+    so wider widths would alias onto low positions). With k columns each
+    contributes ``63 // k`` bits — the LOW quantization bits are dropped,
+    keeping the most-significant ones, so the cap only coarsens the grid."""
     k = len(quantized)
-    for j in range(bits):
+    eff = min(bits, 63 // k)  # j*k+i < eff*k <= 63: sign bit never set
+    drop = bits - eff
+    z = F.lit(0).cast("long")
+    for j in range(eff):
         for i, q in enumerate(quantized):
-            bit = F.shiftright(q.cast("long"), j).bitwiseAND(F.lit(1))
+            bit = F.shiftright(q.cast("long"), j + drop).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
     return z
 
@@ -1220,9 +1235,18 @@ class SnapshotTable:
         FROM versions stay readable; nothing is rewritten or unlinked).
 
         Content semantics: the restored rows carry the target version's
-        payload but a NEW ``seq_no`` (current watermark + 1) and a
-        synthesized tiebreak — they must WIN the LWW merge over the rows
-        they supersede. Lineage records ``restore_of_version``.
+        payload at ``seq_no = current watermark`` (NOT watermark+1 — that
+        sequence number belongs to the source's next real event, which
+        must still WIN over the restore) and a synthesized tiebreak that
+        sorts above any ASCII event id and increases monotonically across
+        stacked restores. Columns ADDED since the target version are
+        reverted to NULL (the target state predates them); columns since
+        dropped cannot be restored through the current schema and are
+        skipped. Lineage records ``restore_of_version``. Caveats: a real
+        event id above U+FFFF at exactly the watermark sequence, or a
+        table with no ``event_id`` tiebreak column, can tie with the one
+        key carrying the watermark event — both are documented edges, not
+        reachable from this engine's WAL format.
 
         Cost: one full-outer key join of two live reads (O(live table) —
         the floor for a content diff), then the standard delta commit.
@@ -1240,10 +1264,19 @@ class SnapshotTable:
         old = self.read_live(spark, version=target_v, op_col=op_col)
         if old is None:  # target predates any data: everything tombstones
             old = cur.limit(0)
+        # schema evolution: a column added AFTER the target version exists
+        # in cur but not in old — the target state is NULL there, so align
+        # old with explicit null columns (they diff, and the restore commit
+        # nulls them). Columns dropped since the target can't ride the
+        # current schema; they are skipped.
+        cur_types = dict(cur.dtypes)
+        for c in cur.columns:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(cur_types[c]))
         seq_col = "seq_no"
         tiebreak_col = "event_id" if "event_id" in old.columns else seq_col
         skip = set(self.key_cols) | {seq_col, tiebreak_col, op_col, BUCKET_COL}
-        pay = [c for c in old.columns if c not in skip]
+        pay = [c for c in cur.columns if c not in skip]
         o = old.select(
             *self.key_cols,
             *[F.col(c).alias(f"__o_{c}") for c in pay],
@@ -1257,7 +1290,16 @@ class SnapshotTable:
                               for c in pay], F.lit(True))
         changed = j.filter(F.col("__in_o").isNull() | F.col("__in_c").isNull()
                            | ~same)
-        new_seq = self.watermark() + 1
+        # seq = WATERMARK, not +1: +1 is the source's next real sequence
+        # number — minting it would (a) tie that future event against the
+        # restore row and lose it to the synthetic tiebreak, and (b) push
+        # watermark/offsets past a sequence the source hasn't emitted,
+        # making a seq-resuming tailer skip it. At seq=watermark the
+        # restore beats every live row (all <= watermark) via the tiebreak
+        # and still loses to every future real event (> watermark).
+        # A table with NO event_id tiebreak has only the seq order, so it
+        # keeps the old +1 semantics (documented caveat above).
+        new_seq = self.watermark() + (1 if tiebreak_col == seq_col else 0)
         tb_type = dict(old.dtypes).get(tiebreak_col, "string")
         cols = [
             *[F.col(k) for k in self.key_cols],
@@ -1268,22 +1310,56 @@ class SnapshotTable:
         ]
         if tiebreak_col != seq_col:
             # unique per key within the batch (keys are distinct post-join);
-            # typed to match the table's tiebreak column — marked "restore-"
-            # where the type allows
+            # "\uffff" sorts above any ASCII event id, and the zero-padded
+            # CURRENT VERSION makes stacked restores strictly increasing
+            # (each later restore out-orders the rows of the one before)
             kh = F.xxhash64(*[F.col(k) for k in self.key_cols])
-            tb = (F.concat(F.lit("restore-"), kh.cast("string"))
+            tb = (F.concat(F.lit("\uffff"),
+                           F.lit(f"{self.version + 1:020d}-"),
+                           kh.cast("string"))
                   if tb_type == "string" else kh.cast(tb_type))
             cols.append(tb.alias(tiebreak_col))
         delta = changed.select(*cols)
         if delta.isEmpty():
             return {"restored": False, "changed": 0, "version": self.version}
         if batch_id is None:
-            batch_id = max(self.committed_batches(), default=-1) + 1
+            # never max(committed)+1 — that is the WAL's NEXT batch id and
+            # committing it would make resume skip the real batch
+            batch_id = MAINT_BATCH_BASE + self.version + 1
         stats = self.commit_delta_auto(
             delta, batch_id, lineage={"restore_of_version": target_v})
         return {"restored": True,
                 "changed": int(stats["n_keys"]) if stats else 0,
                 "version": self.version}
+
+    def _foreign_manifests(self) -> list[str]:
+        """Manifest-like files under ``_log/`` that this log format does
+        not recognize (any ``*.json`` not matching ``v{n}-{ckpt|delta}``,
+        torn ``.tmp.*`` excluded — those are fsck's to report). Non-empty
+        means the table was written by a DIFFERENT or older format: the
+        referenced-set walk would silently see an empty/partial log, so a
+        destructive sweep (``fsck(remove=True)``, ``vacuum``) would
+        classify live data files as orphans and unlink them. Both refuse
+        instead."""
+        out = []
+        for p in (self.root / "_log").iterdir():
+            if p.name.startswith(".tmp.") or p.name == "WRITER":
+                continue
+            if not _LOG_RE.match(p.name):
+                out.append(p.name)
+        return sorted(out)
+
+    def _guard_recognized_log(self, op: str) -> None:
+        foreign = self._foreign_manifests()
+        if foreign:
+            raise RuntimeError(
+                f"{op}: _log contains manifests this format does not "
+                f"recognize ({foreign[:5]}{'...' if len(foreign) > 5 else ''}) "
+                "— refusing a destructive sweep over a foreign/legacy log")
+        if not self._log_entries() and any((self.root / "data").rglob("*.parquet")):
+            raise RuntimeError(
+                f"{op}: no recognizable manifests but data files exist — "
+                "refusing to classify the whole table as orphans")
 
     def _referenced_files(self) -> set[str]:
         """Every data file referenced by ANY retained manifest: reset at
@@ -1320,6 +1396,7 @@ class SnapshotTable:
         """
         if remove:
             self._acquire_writer()
+            self._guard_recognized_log("fsck")
         referenced = self._referenced_files()
         orphans: list[str] = []
         for f in sorted((self.root / "data").rglob("*.parquet")):
@@ -1391,6 +1468,7 @@ class SnapshotTable:
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         self._acquire_writer()
+        self._guard_recognized_log("vacuum")
         entries = self._log_entries()
         cut = len(entries) - keep_versions
         # tags pin snapshots: retention is a contiguous suffix of the log

@@ -101,3 +101,33 @@ def test_merge_matches_oracle_locally(spark):
     exp_s = exp[key].sort_values(key).reset_index(drop=True)
     assert len(got_s) == len(exp_s) > 0
     assert got_s.astype(str).equals(exp_s.astype(str))
+
+
+def test_null_branch_condition_does_not_fire(spark):
+    """ANSI MERGE: a branch condition evaluating to NULL does not fire —
+    in particular a NULL matched_delete must NOT silently drop the row
+    (regression: NULL used to propagate through `keep` and filter it)."""
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, tag string, val int")
+    source = spark.createDataFrame(
+        # tag NULL on k=1: delete and update conditions are both NULL
+        [(1, None, 99), (2, "del", 0), (9, None, 7)],
+        "k int, tag string, val int")
+    out = merge_into(
+        target, source, ["k"],
+        matched_delete=F.col("s.tag") == "del",
+        matched_update=F.col("s.tag") == "upd",
+        update_set={"val": F.col("s.val")},
+        insert=False,
+    )
+    assert _rows(out) == {(1, "a", 10)}  # k=1 kept unchanged, k=2 deleted
+
+    # NULL insert_when gates the insert off, not an error / NULL row
+    source2 = spark.createDataFrame(
+        [(2, "del", 0), (9, None, 7)], "k int, tag string, val int")
+    out2 = merge_into(
+        target, source2, ["k"],
+        matched_delete=F.col("s.tag") == "del",
+        insert_when=F.col("s.tag").isNotNull(),
+    )
+    assert _rows(out2) == {(1, "a", 10)}  # k=9 (tag NULL) not inserted

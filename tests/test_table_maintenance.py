@@ -517,3 +517,118 @@ def test_history_describes_retained_commits(spark, tmpdir_path):
     assert all(isinstance(_json.loads(r["lineage"]), dict) for r in h)
     t.vacuum(keep_versions=2)
     assert [r["version"] for r in t.history(spark).collect()] == [3, 2]
+
+
+# -------------------------------------------------------------------------
+# round-4 review regressions: restore sequencing / schema evolution, the
+# foreign-log destructive-sweep guard, and z-order sign-bit safety
+# -------------------------------------------------------------------------
+
+_EV_SCH = ("repo string, path string, val long, seq_no long, "
+           "event_id string, op string")
+
+
+def _evd(spark, rows, n_buckets=2):
+    df = spark.createDataFrame(rows, _EV_SCH)
+    return df.withColumn(BUCKET_COL, bucket_expr(KEYS, n_buckets))
+
+
+def test_restore_loses_to_the_next_real_event(spark, tmpdir_path):
+    """The source's NEXT event (seq watermark+1) must beat a prior restore:
+    restore used to mint seq=watermark+1 itself and win the tie via its
+    synthetic tiebreak, silently discarding the real newer update. It must
+    also not steal the WAL's next batch id (resume would skip the batch)."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    t.commit_delta_auto(_evd(spark, [("r", "a", 1, 0, "e0", "U")]), 0)
+    t.tag("v0")
+    t.commit_delta_auto(_evd(spark, [("r", "a", 2, 1, "e1", "U")]), 1)
+    out = t.restore(spark, ref="v0")
+    assert out["restored"]
+    assert t.watermark() == 1  # NOT advanced past the source's sequence
+    assert not t.is_committed(2)  # WAL batch id 2 still free
+    # restored content wins over the live rows it superseded...
+    live = {(r["path"], r["val"]) for r in t.read_live(spark).collect()}
+    assert live == {("a", 1)}
+    # ...but the next REAL event (seq 2) beats the restore row
+    t.commit_delta_auto(_evd(spark, [("r", "a", 3, 2, "e2", "U")]), 2)
+    live = {(r["path"], r["val"]) for r in t.read_live(spark).collect()}
+    assert live == {("a", 3)}
+
+
+def test_stacked_restores_are_ordered(spark, tmpdir_path):
+    """restore(v1) after restore(v0) emits rows at the SAME seq (watermark);
+    the version-stamped tiebreak must make the later restore win."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    t.commit_delta_auto(_evd(spark, [("r", "a", 1, 0, "e0", "U")]), 0)
+    v_one = t.version
+    t.commit_delta_auto(_evd(spark, [("r", "a", 2, 1, "e1", "U")]), 1)
+    v_two = t.version
+    assert t.restore(spark, version=v_one)["restored"]  # back to val=1
+    assert t.restore(spark, version=v_two)["restored"]  # forward to val=2
+    live = {(r["path"], r["val"]) for r in t.read_live(spark).collect()}
+    assert live == {("a", 2)}
+
+
+def test_restore_nulls_columns_added_after_target(spark, tmpdir_path):
+    """Schema evolution: a column added after the target version is part of
+    the diff — keys whose ONLY post-target change is that column still get
+    reverted (to NULL), not silently kept at the newer value."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    t.commit_delta_auto(_evd(spark, [("r", "a", 1, 0, "e0", "U"),
+                                     ("r", "b", 5, 1, "e1", "U")]), 0)
+    t.tag("narrow")
+    wide = ("repo string, path string, val long, extra string, seq_no long, "
+            "event_id string, op string")
+    df = spark.createDataFrame(
+        # a: only the NEW column changes; b: untouched entirely
+        [("r", "a", 1, "added", 2, "e2", "U")], wide
+    ).withColumn(BUCKET_COL, bucket_expr(KEYS, 2))
+    t.commit_delta_auto(df, 1)
+    rows = {(r["path"], r["val"], r["extra"])
+            for r in t.read_live(spark).collect()}
+    assert rows == {("a", 1, "added"), ("b", 5, None)}
+    out = t.restore(spark, ref="narrow")
+    assert out["restored"] and out["changed"] == 1  # only a differs
+    rows = {(r["path"], r["val"], r["extra"])
+            for r in t.read_live(spark).collect()}
+    assert rows == {("a", 1, None), ("b", 5, None)}
+
+
+def test_destructive_sweeps_refuse_foreign_logs(spark, tmpdir_path):
+    """fsck(remove=True)/vacuum on a _log written by an unrecognized format
+    must refuse rather than classify every live data file as an orphan."""
+    import pytest
+
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    d = _delta(spark, [("r", "p", 1, "U")], n_buckets=2)
+    t.commit_delta(d, 0, _touched(d), 1)
+    legacy = Path(tmpdir_path) / "_log" / "v00000000.json"
+    legacy.write_text("{}")  # legacy/foreign manifest name
+    with pytest.raises(RuntimeError, match="foreign"):
+        t.fsck(remove=True)
+    with pytest.raises(RuntimeError, match="foreign"):
+        t.vacuum()
+    legacy.unlink()
+    t.release_writer()
+    assert t.fsck(remove=True)["removed"] == 0  # healthy table sweeps fine
+
+
+def test_zorder_never_sets_the_sign_bit(spark):
+    """4 cluster columns put bit index j*k+i at 63 before the cap: rows with
+    the top quantized bit of the 4th column set sorted FIRST (negative z).
+    The effective-bits cap must keep every z-value non-negative and keep
+    all-max above all-min."""
+    from pyspark.sql import functions as F
+
+    from omop_meds_spark.table import zorder_value
+
+    df = spark.range(2).select(
+        *[(F.when(F.col("id") == 1, F.lit(65535)).otherwise(F.lit(0)))
+          .alias(f"q{i}") for i in range(4)])
+    qs = [F.col(f"q{i}") for i in range(4)]
+    out = {r["id"]: r["z"] for r in
+           df.select((F.col("q0") * 0 + F.monotonically_increasing_id())
+                     .alias("id"), zorder_value(qs).alias("z")).collect()}
+    zs = sorted(out.values())
+    assert all(z >= 0 for z in zs)
+    assert zs[0] == 0 and zs[1] > 0  # all-min sorts before all-max
