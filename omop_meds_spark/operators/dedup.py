@@ -431,7 +431,15 @@ def connected_components(
             raise RuntimeError(
                 f"connected_components: no fixpoint in {max_iter} rounds "
                 "(component diameter exceeds max_iter — raise it)")
-        # detach the result from the persisted generation before cleanup
-        return labels.select("doc_id", "cluster_id")
+        # Detach the result from the persisted generation FOR REAL:
+        # localCheckpoint materializes the small (id, label) frame, cuts
+        # the iterative lineage, and its blocks are ContextCleaner-managed
+        # (freed when the frame is GC'd) — returning the persisted frame
+        # directly would pin the last generation's cache for the session.
+        # (Executor loss invalidates localCheckpoint blocks; callers
+        # needing fault-tolerant recompute should write the result out.)
+        out = labels.localCheckpoint(eager=True)
+        labels.unpersist()
+        return out.select("doc_id", "cluster_id")
     finally:
         edges.unpersist()

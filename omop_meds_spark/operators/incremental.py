@@ -48,6 +48,26 @@ from pyspark.sql import types as T
 
 from ..table import SnapshotTable, bucket_expr
 
+
+def _source_col_type(source: SnapshotTable, name: str) -> str:
+    """The source table's recorded type for ``name`` (fallback: string).
+
+    An empty fold on a FRESH view stamps the view schema — hardcoding key
+    or dim columns as string would make ``key_bucket()``/``lookup()`` cast
+    integer literals to string and hash into the wrong bucket until the
+    first real fold overwrote the registry."""
+    import json as _json
+
+    sch = (source.latest() or {}).get("schema")
+    if sch:
+        try:
+            for f in T.StructType.fromJson(_json.loads(sch)).fields:
+                if f.name == name:
+                    return f.dataType.simpleString()
+        except (ValueError, KeyError, TypeError):
+            pass
+    return "string"
+
 _DEC = "decimal(28,4)"
 
 
@@ -146,6 +166,17 @@ class IncrementalAggView:
                 .distinct().collect())
             new = self._changed_key_state(spark, v1, src_buckets, keys)
             old = self._changed_key_state(spark, v0, src_buckets, keys)
+            if old is None and v0 >= 0 and src.manifest_at(v0) is None:
+                # the cursor version itself was vacuumed: read_changes can
+                # still satisfy (v0, v1] (it only needs the deltas AFTER
+                # v0) but the old-state decrement is gone — silently
+                # skipping it would ADD each changed key's new contribution
+                # on top of its old one (permanent double count)
+                keys.unpersist()
+                raise ValueError(
+                    f"incremental refresh: cursor version {v0} was vacuumed "
+                    "from the source — the view cannot subtract the prior "
+                    "state; rebuild the view or vacuum after refreshing")
             parts = [self._signed(d, s) for d, s in ((new, 1), (old, -1))
                      if d is not None]
         if not parts:
@@ -219,7 +250,7 @@ class IncrementalAggView:
 
     def _empty_commit_frame(self, spark: SparkSession) -> DataFrame:
         fields = ", ".join(
-            [f"`{d}` string" for d in self.dims]
+            [f"`{d}` {_source_col_type(self.source, d)}" for d in self.dims]
             + [f"`{n}` {t}" for n, t in self._measure_types()]
             + ["op string", "seq_no long"])
         return spark.createDataFrame([], fields)
@@ -295,9 +326,19 @@ class SCD2View:
         skip = set(src.key_cols) | {seq, tb, self.op_col} | self._META
         skip.add("__bucket")
         pay = [c for c in df.columns if c not in skip]
+        # tb is stored as a STRING field (one stable struct schema across
+        # refreshes), but the encoding must preserve the source's NATIVE
+        # sort order or the history's same-seq tiebreak diverges from the
+        # table's LWW winner: integral ids zero-pad to 20 digits so
+        # '10' doesn't sort below '9' (negative ids unsupported there,
+        # as in the WAL format itself)
+        tb_col = F.col(tb).cast("string")
+        if isinstance(df.schema[tb].dataType,
+                      (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            tb_col = F.lpad(tb_col, 20, "0")
         return F.struct(
             F.col(seq).alias("seq"),
-            F.col(tb).cast("string").alias("tb"),
+            tb_col.alias("tb"),
             F.col(self.op_col).alias("op"),
             *[F.col(c) for c in pay])
 
@@ -380,7 +421,9 @@ class SCD2View:
         return True
 
     def _empty_frame(self, spark: SparkSession) -> DataFrame:
-        key_fields = ", ".join(f"{k} string" for k in self.source.key_cols)
+        key_fields = ", ".join(
+            f"{k} {_source_col_type(self.source, k)}"
+            for k in self.source.key_cols)
         return spark.createDataFrame(
             [], f"{key_fields}, history array<struct<seq long, tb string, "
                 f"op string>>, seq_no long, {self.op_col} string")

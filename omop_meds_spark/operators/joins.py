@@ -225,7 +225,12 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     joined = fact_s.join(
         dim_s,
-        (F.col(fact_key) == F.col(dim_key)) & (fact_s["__salt"] == dim_s["__salt"]),
+        # dataframe-qualified refs: bare F.col(key) is AMBIGUOUS whenever
+        # the two sides share the key name (the common fact_key == dim_key
+        # case) or any other column name
+        (fact_s[fact_key] == dim_s[dim_key]) & (fact_s["__salt"] == dim_s["__salt"]),
         how,
     )
+    if fact_key == dim_key:
+        joined = joined.drop(dim_s[dim_key])  # match plain `on=` key dedup
     return joined.drop("__salt")

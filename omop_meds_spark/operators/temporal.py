@@ -110,8 +110,22 @@ def asof_join(
         W.partitionBy(*key_cols).orderBy("__b")
         .rowsBetween(W.unboundedPreceding, -1)
     )
+    # NULL-SAFE attach: the plain plan's window groups NULL keys together
+    # and sorts a NULL __t (unparseable right time → NULL bucket) FIRST,
+    # carrying its payload forward — a null-unsafe equi-join here would
+    # silently drop exactly those winners and break the bit-identical
+    # contract with the plain path, so every join term is `<=>`.
+    import functools as _ft
+    import operator as _op
+    wsel = winners.select(
+        *[F.col(c).alias(f"__w_{c}") for c in key_cols],
+        F.col("__b").alias("__w_b"), "__r", "__t")
+    null_safe = _ft.reduce(_op.and_, [
+        buckets[c].eqNullSafe(wsel[f"__w_{c}"]) for c in key_cols
+    ] + [buckets["__b"].eqNullSafe(wsel["__w_b"])])
     seeds = (
-        buckets.join(winners, [*key_cols, "__b"], "left")
+        buckets.join(wsel, null_safe, "left")
+        .select(*key_cols, "__b", "__r", "__t")
         .withColumn("__seed", F.last("__r", ignorenulls=True).over(carry_w))
         .withColumn("__seed_t", F.last("__t", ignorenulls=True).over(carry_w))
         .filter(F.col("__seed").isNotNull())

@@ -315,6 +315,7 @@ class SnapshotTable:
         # error, and n_buckets=None means "use the stored layout"
         # (fresh tables default to 32).
         meta_path = self.root / "_table.json"
+        self._cache: tuple[int, dict] | None = None  # (version, state)
         stored: dict | None = None
         if meta_path.exists():
             try:
@@ -358,7 +359,10 @@ class SnapshotTable:
             self.n_buckets = int(n_buckets) if n_buckets is not None else 32
             self.stats_cols = list(stats_cols or [])
             self._stamp_table_meta()
-        self._cache: tuple[int, dict] | None = None  # (version, state)
+        # NOTE: _cache is declared above, BEFORE the stored-layout branch —
+        # the open-heal _load_state() there already replayed and cached the
+        # full state; resetting here would force a second full log replay
+        # on first use.
         self._writer_token = uuid.uuid4().hex  # per-instance writer identity
 
     def _stamp_table_meta(self) -> None:
