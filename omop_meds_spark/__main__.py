@@ -81,6 +81,15 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", required=True)
     v.add_argument("--keep-versions", type=int, default=2)
 
+    fl = sub.add_parser("files", help="list the snapshot's live data files "
+                                      "with footer stats (no Spark)")
+    fl.add_argument("--table", required=True)
+    fl.add_argument("--version", type=int, default=None)
+    fl.add_argument("--ref", default=None, help="tag name (alternative to --version)")
+    fl.add_argument("--summary", action="store_true",
+                    help="per-bucket rollup (files, generations, rows, "
+                         "bytes) instead of one line per file")
+
     fk = sub.add_parser("fsck", help="scan for orphan data files / torn "
                                      "manifests from crashed writes (no Spark)")
     fk.add_argument("--table", required=True)
@@ -170,6 +179,36 @@ def main(argv: list[str] | None = None) -> int:
         from .table import SnapshotTable
 
         print(json.dumps(SnapshotTable(args.table, KEY_COLS).vacuum(args.keep_versions)))
+        return 0
+
+    if args.cmd == "files":
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        rows = SnapshotTable(args.table, KEY_COLS)._file_rows(
+            version=args.version, ref=args.ref)
+        if rows is None:
+            print(json.dumps({"files": None}))
+            return 0
+        cols = ("bucket", "path", "generation", "rows", "bytes",
+                "row_groups", "stats")
+        if args.summary:
+            agg: dict[int, dict] = {}
+            for r in rows:
+                d = agg.setdefault(r[0], {"bucket": r[0], "files": 0,
+                                          "generations": set(),
+                                          "rows": 0, "bytes": 0})
+                d["files"] += 1
+                d["generations"].add(r[2])
+                d["rows"] += r[3]
+                d["bytes"] += r[4]
+            for b in sorted(agg):
+                d = agg[b]
+                d["generations"] = len(d["generations"])
+                print(json.dumps(d))
+        else:
+            for r in rows:
+                print(json.dumps(dict(zip(cols, r))))
         return 0
 
     if args.cmd == "fsck":

@@ -349,6 +349,20 @@ SELECT o_orderpriority, o_orderkey, price, rn FROM (
 WHERE rn <= 3
 """
 
+ORACLES["rolling_user_stats"] = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS tsec
+  FROM events)
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_1h,
+       (SUM(value::DECIMAL(18,2)) OVER w)::DOUBLE / (COUNT(*) OVER w)
+           AS avg_value_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
 ORACLES["median_quantity_by_flag"] = """
 SELECT l_returnflag,
        quantile_cont(l_quantity::DOUBLE, 0.5) AS median_qty,

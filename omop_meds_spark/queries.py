@@ -571,6 +571,32 @@ def top_orders_per_priority(spark, sf_dir):
     )
 
 
+def rolling_user_stats(spark, sf_dir):
+    """Bounded sliding-frame window (§2.5 widened beyond cumulative and
+    ranked frames): per user, a trailing 1-hour RANGE frame over event
+    time — moving event count and moving value average at every event.
+    RANGE frames are value-defined, so the result is deterministic under
+    order-key ties (unlike a bounded ROWS frame), and Spark evaluates the
+    whole thing inside ONE user-keyed window exchange with a sliding
+    in-partition frame — no self-join, no explode; at 100 TB the cost is
+    the same single keyed sort every other window pays. The sum runs in
+    DECIMAL so the moving average is order-independent bit-exact."""
+    ev = t(spark, sf_dir, "events")
+    # whole seconds since a fixed anchor: NTZ-safe (no session-timezone
+    # dependence, unlike an NTZ->LTZ cast) and exactly DuckDB's
+    # date_diff('second', anchor, ts) for an on-boundary anchor
+    tsec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+    w = (W.partitionBy("user_id").orderBy(tsec).rangeBetween(-3600, 0))
+    n = F.count("*").over(w).cast("long")
+    s = F.sum(_dec(F.col("value"), 2)).over(w)
+    return ev.select(
+        "user_id", "event_id",
+        n.alias("n_1h"),
+        (s.cast("double") / n).alias("avg_value_1h"),
+    )
+
+
 def median_quantity_by_flag(spark, sf_dir):
     """Exact grouped percentiles (continuous interpolation — the same
     definition DuckDB's quantile_cont uses): median and p90 of lineitem
@@ -1020,6 +1046,7 @@ ALL_QUERIES = {
     "rollup_order_stats": rollup_order_stats,
     "top_orders_per_priority": top_orders_per_priority,
     "median_quantity_by_flag": median_quantity_by_flag,
+    "rolling_user_stats": rolling_user_stats,
     "meds_event_explosion": meds_event_explosion,
     "meds_event_explosion_cfg": meds_event_explosion_cfg,
     "meds_code_counts": meds_code_counts,

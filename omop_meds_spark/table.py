@@ -589,6 +589,61 @@ class SnapshotTable:
             "buckets_added int, buckets_replaced int, committed_at double, "
             "lineage string, metrics string")
 
+    def _file_rows(self, version: int | None = None,
+                   ref: str | None = None) -> list[tuple] | None:
+        """Driver-side rows for :meth:`files` (shared with the no-Spark
+        CLI): one tuple per live data file in the snapshot. Footer-only
+        local I/O, parallelized like the commit's stats pass."""
+        version = self._resolve_version(version, ref)
+        m = self._load_state(version)
+        if m is None:
+            return None
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+        stats = m.get("file_stats", {})
+
+        def one(b: str, rel: str) -> tuple:
+            p = self.root / rel
+            md = pq.ParquetFile(p).metadata
+            # data/{generation-tag}/__bucket__={b}/part-*.parquet
+            parts = rel.split("/")
+            gen = parts[1] if len(parts) > 2 and parts[0] == "data" else ""
+            return (int(b), rel, gen, int(md.num_rows),
+                    int(p.stat().st_size), int(md.num_row_groups),
+                    json.dumps(stats.get(rel, {}), sort_keys=True))
+
+        pairs = [(b, f)
+                 for b, fs in sorted(m["files"].items(), key=lambda kv: int(kv[0]))
+                 for f in fs]
+        if not pairs:
+            return []
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(pairs)))) as ex:
+            return list(ex.map(lambda bf: one(*bf), pairs))
+
+    FILES_SCHEMA = ("bucket int, path string, generation string, rows long, "
+                    "bytes long, row_groups int, stats string")
+
+    def files(self, spark: SparkSession, version: int | None = None,
+              ref: str | None = None) -> DataFrame | None:
+        """Iceberg ``db.table.files`` metadata-table analogue: one row per
+        LIVE data file in the snapshot — bucket, generation (the commit or
+        compaction tag that wrote the file), relative path, parquet footer
+        row count, on-disk bytes, row-group count, and the file's recorded
+        zone-map bounds as JSON. ``version=`` / ``ref=`` time-travel
+        exactly like :meth:`read`.
+
+        With :meth:`history` (the ``snapshots`` analogue) this exposes the
+        snapshot log as queryable DataFrames, so layout health — small-file
+        pressure, per-bucket generation depth (the compaction trigger),
+        byte skew across buckets — is auditable with plain ``groupBy``
+        instead of bespoke tooling. Driver-side footer scan over the
+        manifest's file list: O(live files) metadata I/O, a maintenance /
+        observability accessor that never runs on the commit path."""
+        rows = self._file_rows(version, ref)
+        if rows is None:
+            return None
+        return spark.createDataFrame(rows, self.FILES_SCHEMA)
+
     # ------------------------------------------------------- tags (refs)
     @property
     def _refs_path(self) -> Path:

@@ -43,6 +43,17 @@ def test_cli_full_lifecycle(spark, tmpdir_path, capsys):
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(comp["compacted_buckets"]) > 0
 
+    # the files metadata listing (no Spark): every line is one live file
+    assert main(["files", "--table", tbl]) == 0
+    flines = [json.loads(s) for s in capsys.readouterr().out.strip().splitlines()]
+    assert all(f["rows"] > 0 and f["bytes"] > 0 for f in flines)
+    assert main(["files", "--table", tbl, "--summary"]) == 0
+    fsum = [json.loads(s) for s in capsys.readouterr().out.strip().splitlines()]
+    assert sum(b["files"] for b in fsum) == len(flines)
+    # compacted buckets read back at generation depth 1
+    assert all(b["generations"] == 1 for b in fsum
+               if b["bucket"] in comp["compacted_buckets"])
+
     # grow the bucket layout mid-life; everything downstream (vacuum,
     # finalize, status) runs against the rewritten table
     assert main(["rebucket", "--table", tbl, "--buckets", "64",

@@ -519,6 +519,42 @@ def test_history_describes_retained_commits(spark, tmpdir_path):
     assert [r["version"] for r in t.history(spark).collect()] == [3, 2]
 
 
+def test_files_metadata_table(spark, tmpdir_path):
+    """Iceberg `.files` analogue: one row per live data file, carrying the
+    footer row count, byte size, writing generation, and the manifest's
+    zone-map stats — time-travel consistent and compaction-aware."""
+    import json as _json
+
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2, stats_cols=["seq_no"])
+    assert t.files(spark) is None                       # empty table
+    for i in range(3):
+        d = _delta(spark, [("r1", "p", i, "U"), (f"r{i}", "q", 10 + i, "U")],
+                   n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    m = t.latest()
+    listed = {(int(b), p) for b, fs in m["files"].items() for p in fs}
+    rows = t.files(spark).collect()
+    assert {(r["bucket"], r["path"]) for r in rows} == listed
+    # footer row counts sum to the full multi-generation row count
+    assert sum(r["rows"] for r in rows) == t.read(spark).count()
+    assert all(r["bytes"] > 0 and r["row_groups"] >= 1 for r in rows)
+    # recorded zone-map bounds surface verbatim as JSON
+    stats = m.get("file_stats", {})
+    for r in rows:
+        assert _json.loads(r["stats"]) == stats.get(r["path"], {})
+        assert r["generation"].startswith("b")      # b{batch_id:06d}
+    pre_version = m["version"]
+    t.compact(spark)
+    # post-compaction: every bucket reads back at generation depth 1
+    gens: dict[int, set] = {}
+    for r in t.files(spark).collect():
+        gens.setdefault(r["bucket"], set()).add(r["generation"])
+    assert gens and all(len(g) == 1 for g in gens.values())
+    # time travel resolves the PRE-compaction file list
+    old = t.files(spark, version=pre_version).collect()
+    assert {(r["bucket"], r["path"]) for r in old} == listed
+
+
 # -------------------------------------------------------------------------
 # round-4 review regressions: restore sequencing / schema evolution, the
 # foreign-log destructive-sweep guard, and z-order sign-bit safety
