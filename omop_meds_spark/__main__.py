@@ -139,6 +139,16 @@ def main(argv: list[str] | None = None) -> int:
                          "aggregate (per-key version logs; intervals on read)")
     mv.add_argument("--cores", type=int, default=None)
 
+    ch = sub.add_parser("changes", help="summarize the change feed between "
+                                        "two versions (Delta table_changes "
+                                        "analogue)")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--since", type=int, required=True,
+                    help="exclusive lower version bound")
+    ch.add_argument("--to", type=int, default=None,
+                    help="inclusive upper version bound (default: current)")
+    ch.add_argument("--cores", type=int, default=None)
+
     fz = sub.add_parser("finalize", help="write metadata/{dataset.json,codes,subject_splits}")
     fz.add_argument("--table", required=True, help="CDC table root (reads the live MEDS target)")
     fz.add_argument("--out", required=True)
@@ -246,6 +256,29 @@ def main(argv: list[str] | None = None) -> int:
             v = t.tag(args.name, args.version)
             print(json.dumps({"tagged": args.name, "version": v,
                               "tags": t.tags()}))
+        return 0
+
+    if args.cmd == "changes":
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        from pyspark.sql import functions as F
+
+        spark = _session(args.cores)
+        t = SnapshotTable(args.table, KEY_COLS)
+        df = t.read_changes(spark, args.since, to_version=args.to)
+        if df is None:
+            print(json.dumps({"changes": 0, "by_commit": {}}))
+            return 0
+        by_commit = {
+            str(r["_commit_version"]): {"rows": r["rows"],
+                                        "deletes": r["deletes"]}
+            for r in df.groupBy("_commit_version").agg(
+                F.count("*").alias("rows"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+                 .cast("long").alias("deletes")).collect()}
+        print(json.dumps({"changes": sum(v["rows"] for v in by_commit.values()),
+                          "by_commit": by_commit}))
         return 0
 
     if args.cmd == "restore":

@@ -24,6 +24,14 @@ def test_cli_full_lifecycle(spark, tmpdir_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["batches_applied"] == 2 and rep["final_keys"] > 0
 
+    # change feed: `--since` is the last version already seen (exclusive),
+    # so from v0 exactly the second batch's commit (v1) is in range
+    assert main(["changes", "--table", tbl, "--since", "0",
+                 "--cores", "8"]) == 0
+    chg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert chg["changes"] > 0 and list(chg["by_commit"]) == ["1"]
+    assert all(v["deletes"] >= 0 for v in chg["by_commit"].values())
+
     mv = f"{tmpdir_path}/mv"
     assert main(["view", "--table", tbl, "--out", mv, "--dims", "lang",
                  "--sum", "token_count", "--cores", "8"]) == 0
