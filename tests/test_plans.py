@@ -58,6 +58,15 @@ def test_asof_join_single_window_exchange(spark):
     assert "NestedLoop" not in plan
 
 
+def test_rolling_window_single_exchange(spark):
+    plan = _plan(spark, "rolling_user_stats")
+    # one user-keyed hash exchange feeding ONE Window node evaluating the
+    # sliding RANGE frame — no self-join, no explode, no second shuffle
+    assert _exchanges(plan) == 1
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
+    assert "Join" not in plan and "Generate" not in plan
+
+
 def test_interval_join_no_nested_loop(spark):
     plan = _plan(spark, "interval_join_sessions")
     assert "NestedLoop" not in plan
