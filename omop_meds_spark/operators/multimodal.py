@@ -9,13 +9,15 @@ this container:
 * ``decode_stub=True`` (default in tests) runs a deterministic fake decoder
   (metadata derived from the payload bytes themselves) so the distributed
   plumbing is exercised end-to-end with verifiable outputs.
-* ``decode_stub=False`` REALLY decodes the audio modality: RIFF/WAVE
-  16-bit-PCM payloads are parsed with a pure-Python chunk walker
-  (:func:`_wav_decode` — no external libs), exercised by the
-  ``wav_decode_real`` query against an exact DuckDB oracle. Image/video
-  payloads still raise ``NotImplementedError`` naming the real
-  implementation point (PIL/libav inside the same ``mapInPandas`` body —
-  per-batch, vectorized, identical schema).
+* ``decode_stub=False`` REALLY decodes the audio and image modalities:
+  RIFF/WAVE 16-bit-PCM payloads are parsed with a pure-Python chunk
+  walker (:func:`_wav_decode`) and PPM/P6 images with a pure-Python
+  netpbm header tokenizer (:func:`_ppm_decode`) — no external libs —
+  exercised by the ``wav_decode_real`` / ``ppm_decode_real`` queries
+  against exact DuckDB oracles. Video payloads still raise
+  ``NotImplementedError`` naming the real implementation point
+  (imageio/libav inside the same ``mapInPandas`` body — per-batch,
+  vectorized, identical schema).
 
 Scale notes: media payloads dominate row size, so the iterator form of
 ``mapInPandas`` is used — batches stream through Python with bounded
@@ -81,9 +83,21 @@ WAV_SCHEMA = StructType(
 )
 
 _STUB_NOTE = (
-    "real image/video decoder not available in this container — plug "
-    "PIL/imageio/libav here, same mapInPandas body, same output schema "
-    "(audio/wav already has a real pure-Python path: _wav_decode)"
+    "real video decoder not available in this container — plug "
+    "imageio/libav here, same mapInPandas body, same output schema "
+    "(audio/wav and image/ppm already have real pure-Python paths: "
+    "_wav_decode / _ppm_decode)"
+)
+
+PPM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("maxval", LongType()),
+        StructField("checksum", LongType()),
+        StructField("max_px", LongType()),
+    ]
 )
 
 WAV_RATE = 8000  # synthetic payload sample rate (Hz), mono 16-bit PCM
@@ -148,6 +162,63 @@ def _wav_decode(b: bytes) -> dict:
     }
 
 
+def _ppm_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal canonical PPM (P6) writer: binary RGB, maxval 255, with a
+    comment line so the decoder's comment skipping is exercised.
+
+    >>> _ppm_encode(bytes([1, 2, 3]), 1, 1)[:3]
+    b'P6\\n'
+    """
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    return (f"P6\n# synthetic\n{width} {height}\n255\n".encode("ascii")
+            + pixels)
+
+
+def _ppm_decode(b: bytes) -> dict:
+    """REAL pure-Python PPM (P6) decode: tokenize the ASCII header
+    (skipping ``#`` comments per the netpbm spec), validate magic and
+    maxval, slice exactly width*height*3 pixel bytes, return numeric
+    metadata. No external libs.
+
+    >>> d = _ppm_decode(_ppm_encode(bytes([0, 128, 255, 1, 2, 3]), 2, 1))
+    >>> (d['width'], d['height'], d['maxval'], d['checksum'], d['max_px'])
+    (2, 1, 255, 389, 255)
+    """
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(b):
+            raise ValueError("truncated PPM header")
+        c = b[pos : pos + 1]
+        if c == b"#":                       # comment runs to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(b[start:pos]))
+    pos += 1                                 # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    n = width * height * 3
+    px = b[pos : pos + n]
+    if len(px) != n:
+        raise ValueError("truncated PPM pixel data")
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "checksum": sum(px),
+        "max_px": max(px, default=0),
+    }
+
+
 def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """binary payload → typed metadata row, one per media item.
 
@@ -166,6 +237,9 @@ def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                 elif b[:4] == b"RIFF":
                     d = _wav_decode(b)
                     dims.append((d["n_samples"], d["sample_rate"]))
+                elif b[:2] == b"P6":
+                    d = _ppm_decode(b)
+                    dims.append((d["width"], d["height"]))
                 else:
                     raise NotImplementedError(_STUB_NOTE)
             payloads = pdf["payload"]
@@ -261,6 +335,58 @@ def wav_from_documents(docs: DataFrame, rate: int = WAV_RATE) -> DataFrame:
     ascii_text = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "?")
     src = docs.select(F.col("doc_id").cast("long"), ascii_text.alias("text"))
     return src.mapInPandas(body, MEDIA_SCHEMA)
+
+
+def ppm_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PPM payloads from the documents table: one RGB
+    pixel per ascii-safe character — ``R = code``, ``G = 255 - code``,
+    ``B = (code * 7) % 256`` — as a width×1 image. Like the WAV twin, the
+    mapping is simple enough that a SQL oracle recomputes the decoded
+    aggregates straight from the text, exact-checking the binary
+    encode→decode round trip with no image library."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                px = bytearray()
+                for c in t:
+                    code = ord(c)
+                    px += bytes((code, 255 - code, code * 7 % 256))
+                payloads.append(_ppm_encode(bytes(px), len(t), 1))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pd.Series(["image/ppm"] * len(pdf), dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    ascii_text = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "?")
+    src = docs.select(F.col("doc_id").cast("long"), ascii_text.alias("text"))
+    return src.mapInPandas(body, MEDIA_SCHEMA)
+
+
+def decode_ppm(df: DataFrame) -> DataFrame:
+    """REAL image decode over (media_id, payload): parse each P6 payload
+    with :func:`_ppm_decode` and emit numeric metadata. Same bounded-memory
+    iterator ``mapInPandas`` shape as every other decoder here."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_ppm_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.Series([r["width"] for r in rows], dtype="int64"),
+                    "height": pd.Series([r["height"] for r in rows], dtype="int64"),
+                    "maxval": pd.Series([r["maxval"] for r in rows], dtype="int64"),
+                    "checksum": pd.Series([r["checksum"] for r in rows], dtype="int64"),
+                    "max_px": pd.Series([r["max_px"] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(body, PPM_SCHEMA)
 
 
 def decode_wav(df: DataFrame) -> DataFrame:

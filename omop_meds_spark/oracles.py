@@ -833,6 +833,31 @@ FROM n JOIN range(8) r ON r.range < n.nf
 # constant so parity cannot drift.
 from .operators.multimodal import WAV_RATE as _WAV_RATE  # noqa: E402
 
+ORACLES["ppm_decode_real"] = r"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS media_id,
+         regexp_replace(text, '[^\x20-\x7E]', '?', 'g') AS s
+  FROM documents),
+cx AS (
+  SELECT media_id, length(s)::BIGINT AS width,
+         list_transform(range(1, length(s) + 1),
+                        i -> ascii(substr(s, i, 1))) AS codes
+  FROM t)
+SELECT media_id, width, 1::BIGINT AS height, 255::BIGINT AS maxval,
+       -- R + G = code + (255 - code) = 255 per pixel; B sums separately
+       (255 * width
+        + COALESCE(list_aggregate(
+            list_transform(codes, c -> (c * 7) % 256), 'sum'), 0))::BIGINT
+         AS checksum,
+       GREATEST(
+         COALESCE(list_aggregate(codes, 'max'), 0),
+         COALESCE(255 - list_aggregate(codes, 'min'), 0),
+         COALESCE(list_aggregate(
+           list_transform(codes, c -> (c * 7) % 256), 'max'), 0))::BIGINT
+         AS max_px
+FROM cx
+"""
+
 ORACLES["wav_decode_real"] = rf"""
 WITH t AS (
   SELECT doc_id::BIGINT AS media_id,

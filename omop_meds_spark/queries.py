@@ -939,6 +939,19 @@ def wav_decode_real(spark, sf_dir):
     return decode_wav(wav_from_documents(docs))
 
 
+def ppm_decode_real(spark, sf_dir):
+    """REAL (non-stub) image decode: build canonical PPM/P6 payloads from
+    document text (one RGB pixel per ascii-safe character), then parse
+    them back with the pure-Python netpbm decoder — header tokenizing,
+    comment skipping, pixel-buffer validation. The DuckDB oracle
+    recomputes every decoded aggregate straight from the text, so the
+    binary encode→decode round trip is exact-checked end to end."""
+    from .operators.multimodal import decode_ppm, ppm_from_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return decode_ppm(ppm_from_documents(docs))
+
+
 # ================================================================ similarity
 def embedding_topk(spark, sf_dir):
     """Brute-force ANN baseline: exact top-5 by quantized dot product."""
@@ -1075,6 +1088,7 @@ ALL_QUERIES = {
     "media_decode": media_decode,
     "media_frame_sample": media_frame_sample,
     "wav_decode_real": wav_decode_real,
+    "ppm_decode_real": ppm_decode_real,
     "embedding_topk": embedding_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,

@@ -131,6 +131,44 @@ def test_wav_round_trip_exact(docs):
         assert r["checksum"] == sum(samples)
 
 
+def test_ppm_round_trip_exact(docs):
+    """Binary encode→decode round trip for the image modality: decoded
+    aggregates equal the values computed independently from the source
+    characters (R=code, G=255-code, B=code*7%256, width×1)."""
+    from omop_meds_spark.operators.multimodal import decode_ppm, ppm_from_documents
+
+    out = {r["media_id"]: r for r in decode_ppm(ppm_from_documents(docs)).collect()}
+    for doc_id, text, _, _ in DOCS:
+        ascii_text = "".join(c if " " <= c <= "~" else "?" for c in text)
+        codes = [ord(c) for c in ascii_text]
+        r = out[doc_id]
+        assert (r["width"], r["height"], r["maxval"]) == (len(codes), 1, 255)
+        assert r["checksum"] == 255 * len(codes) + sum(c * 7 % 256 for c in codes)
+        assert r["max_px"] == max(
+            [max(codes, default=0), 255 - min(codes, default=255)]
+            + [c * 7 % 256 for c in codes], default=0)
+    # decode_media's generic path takes the same real branch for P6
+    gen = {r["media_id"]: r for r in
+           decode_media(ppm_from_documents(docs), decode_stub=False).collect()}
+    for doc_id, text, _, _ in DOCS:
+        assert gen[doc_id]["width"] == len(text)
+        assert gen[doc_id]["height"] == 1
+
+
+def test_ppm_decode_rejects_malformed():
+    from omop_meds_spark.operators.multimodal import _ppm_decode, _ppm_encode
+
+    with pytest.raises(ValueError):
+        _ppm_decode(b"P5\n1 1\n255\n\x00")       # grayscale magic
+    with pytest.raises(ValueError):
+        _ppm_decode(b"P6\n2 2\n255\n\x00\x00")   # truncated pixel data
+    with pytest.raises(ValueError):
+        _ppm_decode(b"P6\n1 1\n65535\n" + b"\x00" * 6)  # 16-bit maxval
+    # comment skipping: a header comment between tokens still parses
+    ok = _ppm_decode(b"P6\n1 # w\n# another\n1\n255\n\x01\x02\x03")
+    assert (ok["width"], ok["height"], ok["checksum"]) == (1, 1, 6)
+
+
 def test_wav_decode_rejects_malformed():
     from omop_meds_spark.operators.multimodal import _wav_decode, _wav_encode
 
