@@ -150,6 +150,60 @@ def quality_score(col) -> F.Column:
     return (alpha_ratio + stop_ratio + wl_ok + punct_ok) / F.lit(4.0)
 
 
+def repetition_features(col) -> list[F.Column]:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1), the standard quality gate a large-scale corpus pipeline runs
+    before dedup. All three are shuffle-free Column algebra over one token
+    array; every fraction is a SINGLE bigint/bigint division so the double
+    is bit-identical across engines (no order-dependent float sums):
+
+    * ``dup_word_frac``  — 1 - distinct/total tokens,
+    * ``top_word_frac``  — most frequent token's share (max run length on
+      the SORTED token array == max frequency, computed with one
+      ``aggregate`` pass — no explode, no per-doc shuffle),
+    * ``dup_2gram_frac`` — duplicate share among word 2-grams.
+    """
+    toks = F.regexp_extract_all(F.lower(_c(col)), F.lit(ALNUM_TOKEN_RX), F.lit(1))
+    n_words = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    # max run on the sorted array: carry (prev token, current run, best run)
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    grams2 = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_g = F.size(grams2).cast("long")
+    n_dg = F.size(F.array_distinct(grams2)).cast("long")
+    frac = lambda num, den: (  # noqa: E731 — one-shot local shorthand
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+    )
+    return [
+        n_words.alias("n_words"),
+        frac(n_words - n_distinct, n_words).alias("dup_word_frac"),
+        frac(top_cnt, n_words).alias("top_word_frac"),
+        frac(n_g - n_dg, n_g).alias("dup_2gram_frac"),
+    ]
+
+
 def fingerprint(col) -> F.Column:
     """Document fingerprint: md5 of the casefolded, alnum-token-normalized
     text — equal for documents that differ only in spacing/punctuation."""

@@ -574,6 +574,53 @@ SELECT md5(array_to_string({TOKS}, ' ')) AS fp,
 FROM documents GROUP BY 1
 """
 
+# benchmark decontamination: strict n-grams (docs < n tokens contribute
+# nothing — generate_series(1, len-n+1) is empty), gram key = md5_long of
+# the space-joined window; eval slice = doc_id % 97 == 0; n=3 to match
+# the query (see queries.ngram_decontaminate on why not the production
+# 13-gram default). Twin of operators/decontam.contamination_hits.
+_GRAMS_DECON = f"""
+  SELECT doc_id,
+         {_md5l("array_to_string(toks[i:i+2], ' ')")} AS gh
+  FROM (SELECT doc_id, {TOKS} AS toks FROM documents),
+       unnest(generate_series(1, len(toks) - 2)) AS t(i)
+"""
+ORACLES["ngram_decontaminate"] = f"""
+WITH grams AS ({_GRAMS_DECON}),
+ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id, COUNT(DISTINCT g.gh) AS n_hits
+FROM grams g JOIN ev USING (gh)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+# Gopher repetition gate: every fraction is ONE bigint/bigint division
+# (bit-identical doubles); top-word share via per-token frequency (equal
+# to the Spark side's max-run-on-sorted-array). Twin of
+# functions/text.repetition_features.
+ORACLES["gopher_repetition"] = f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+freq AS (SELECT doc_id, t, COUNT(*) AS c
+         FROM tok, unnest(toks) AS u(t) GROUP BY doc_id, t),
+words AS (SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_words,
+                 COUNT(*) AS n_distinct
+          FROM freq GROUP BY doc_id),
+g2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+       FROM tok, unnest(generate_series(1, len(toks) - 1)) AS t(i)),
+gstat AS (SELECT doc_id, COUNT(*) AS n_g, COUNT(DISTINCT g) AS n_dg
+          FROM g2 GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(w.n_words, 0)::BIGINT AS n_words,
+       CASE WHEN w.n_words > 0
+            THEN (w.n_words - w.n_distinct)::DOUBLE / w.n_words
+            ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN w.n_words > 0
+            THEN w.top_cnt::DOUBLE / w.n_words ELSE 0.0 END AS top_word_frac,
+       CASE WHEN g.n_g > 0
+            THEN (g.n_g - g.n_dg)::DOUBLE / g.n_g ELSE 0.0 END AS dup_2gram_frac
+FROM tok t LEFT JOIN words w USING (doc_id) LEFT JOIN gstat g USING (doc_id)
+"""
+
 # composite corpus-prep pass: quality gate -> exact-dedup survivor election
 # (arg_min on doc_id per fingerprint) -> per-language rollup; the quality
 # and lang CTEs are the same expressions as their standalone oracles, so

@@ -797,6 +797,30 @@ def token_count_by_source(spark, sf_dir):
     )
 
 
+def ngram_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs flagged by n-gram overlap
+    with a deterministic held-out eval slice (doc_id % 97 == 0). Eval
+    grams broadcast, corpus never shuffled (operators/decontam.py); the
+    oracle builds the identical gram sets with generate_series windows.
+    n=3 here (the synthetic corpus is a ~40-word random bag — 13-grams, the
+    production default, would make the overlap set empty); the operator's
+    own default stays conservative."""
+    from .operators.decontam import contamination_hits
+
+    docs = t_wide(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_hits(train, eval_df, "doc_id", "text", n=3)
+
+
+def gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition quality gate: duplicate-word fraction,
+    top-word share, duplicate-2-gram fraction per document — zero-UDF,
+    shuffle-free Column algebra (functions/text.repetition_features)."""
+    docs = t_wide(spark, sf_dir, "documents")
+    return docs.select("doc_id", *TX.repetition_features(F.col("text")))
+
+
 def doc_fingerprint_dedup(spark, sf_dir):
     """Exact dedup on the normalized-content fingerprint."""
     docs = t(spark, sf_dir, "documents")
@@ -1075,6 +1099,8 @@ ALL_QUERIES = {
     "quality_score": quality_score,
     "token_count_by_source": token_count_by_source,
     "doc_fingerprint_dedup": doc_fingerprint_dedup,
+    "ngram_decontaminate": ngram_decontaminate,
+    "gopher_repetition": gopher_repetition,
     "corpus_prep_summary": corpus_prep_summary,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
