@@ -110,6 +110,17 @@ def main(argv: list[str] | None = None) -> int:
     tg.add_argument("--drop", action="store_true",
                     help="drop the tag instead of creating it")
 
+    wp = sub.add_parser("staged", help="write-audit-publish: list, publish, "
+                                       "or drop pending staged batches (no Spark)")
+    wp.add_argument("--table", required=True)
+    wp.add_argument("--publish", default=None, metavar="NAME",
+                    help="atomically publish this stage into the snapshot log")
+    wp.add_argument("--drop", default=None, metavar="NAME",
+                    help="discard this stage and unlink its data files")
+    wp.add_argument("--force", action="store_true",
+                    help="publish even if the table advanced past the "
+                         "stage's base version (skip the fast-forward guard)")
+
     rs = sub.add_parser("restore", help="revert live content to a snapshot "
                                         "as a FORWARD diff commit")
     rs.add_argument("--table", required=True)
@@ -256,6 +267,24 @@ def main(argv: list[str] | None = None) -> int:
             v = t.tag(args.name, args.version)
             print(json.dumps({"tagged": args.name, "version": v,
                               "tags": t.tags()}))
+        return 0
+
+    if args.cmd == "staged":
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        t = SnapshotTable(args.table, KEY_COLS)
+        if args.publish:
+            ok = t.publish_staged(args.publish,
+                                  require_fast_forward=not args.force)
+            print(json.dumps({"published": args.publish if ok else None,
+                              "already_committed": not ok,
+                              "version": t.version}))
+        elif args.drop:
+            print(json.dumps({"dropped": t.drop_staged(args.drop),
+                              "staged": t.staged()}))
+        else:
+            print(json.dumps({"staged": t.staged()}))
         return 0
 
     if args.cmd == "changes":

@@ -1028,6 +1028,28 @@ class SnapshotTable:
         empty), or None if ``batch_id`` was already committed."""
         if self.is_committed(batch_id):
             return None
+        payload = self._write_delta_with_stats(
+            delta, f"b{batch_id:06d}", seq_col, schema_json)
+        prev_wm = self.watermark()
+        seq_min, seq_max = payload["seq_min"], payload["seq_max"]
+        self._publish(
+            batch_id=batch_id, files_add=payload["new_files"],
+            watermark_seq=seq_max if seq_max is not None else prev_wm,
+            lineage={**(lineage or {}), "seq_min": seq_min, "seq_max": seq_max,
+                     "n_keys": payload["n_keys"]},
+            metrics=metrics, schema_json=payload["schema_json"],
+            offsets=payload["offsets"], file_stats=payload["file_stats"],
+        )
+        return {"n_keys": payload["n_keys"], "seq_min": seq_min, "seq_max": seq_max}
+
+    def _write_delta_with_stats(self, delta: DataFrame, dirname: str,
+                                seq_col: str = "seq_no",
+                                schema_json: str | None = None) -> dict:
+        """Write a delta's bucketed parquet under ``data/{dirname}`` and
+        derive the commit payload (files, per-bucket offsets, watermark
+        inputs, zone-map stats) from the WRITTEN footers — the shared body
+        of ``commit_delta_auto`` (immediate publish) and ``stage_delta``
+        (write-audit-publish)."""
         # always record the commit's schema: key_bucket/lookup need the key
         # column TYPES to hash bit-exactly (xxhash64(int32) != xxhash64(
         # bigint)) — without it a point lookup on an int-keyed table would
@@ -1043,7 +1065,7 @@ class SnapshotTable:
         spark = delta.sparkSession
         nparts = min(self.n_buckets, max(2, spark.sparkContext.defaultParallelism * 2))
         delta = delta.repartition(nparts, F.col(BUCKET_COL))
-        staging = self.root / "data" / f"b{batch_id:06d}"
+        staging = self.root / "data" / dirname
         delta.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(staging))
 
         import pyarrow.parquet as pq
@@ -1092,16 +1114,180 @@ class SnapshotTable:
                 seq_min = int(lo) if seq_min is None else min(seq_min, int(lo))
                 seq_max = int(hi) if seq_max is None else max(seq_max, int(hi))
 
-        prev_wm = self.watermark()
+        return {"new_files": new_files, "offsets": offsets, "n_keys": n_keys,
+                "seq_min": seq_min, "seq_max": seq_max,
+                "schema_json": schema_json,
+                "file_stats": self._collect_file_stats(new_files)}
+
+    # -------------------------------------------------- write-audit-publish
+    def _staged_dir(self) -> Path:
+        return self.root / "_staged"
+
+    def _staged_path(self, name: str) -> Path:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(f"invalid stage name {name!r}")
+        return self._staged_dir() / f"{name}.json"
+
+    def stage_delta(
+        self,
+        delta: DataFrame,
+        batch_id: int,
+        name: str,
+        lineage: dict | None = None,
+        metrics: dict | None = None,
+        schema_json: str | None = None,
+        seq_col: str = "seq_no",
+    ) -> dict | None:
+        """Write-audit-publish, step 1 (Iceberg WAP analogue): write the
+        batch's data files and a STAGED manifest under ``_staged/{name}``
+        — INVISIBLE to every reader (``read*``, change feed, lookups) and
+        protected from ``vacuum``/``fsck`` sweeps — so an audit job can
+        validate the batch (``read_staged``) before ``publish_staged``
+        makes it atomically visible, or ``drop_staged`` discards it.
+
+        The data files land in their final location (``data/b{batch}``);
+        publish is a pure manifest operation — no data is rewritten or
+        moved, exactly like a normal commit's atomic rename.
+
+        Returns the commit summary ({n_keys, seq_min, seq_max}), or None
+        when ``batch_id`` is already committed (idempotent under replay).
+        """
+        if self.is_committed(batch_id):
+            return None
+        self._acquire_writer()
+        p = self._staged_path(name)
+        if p.exists():
+            raise RuntimeError(f"stage {name!r} already exists — publish or drop it")
+        payload = self._write_delta_with_stats(
+            delta, f"b{batch_id:06d}", seq_col, schema_json)
+        staged = {
+            "name": name,
+            "batch_id": batch_id,
+            "base_version": self.version,
+            "files_add": payload["new_files"],
+            "file_stats": payload["file_stats"],
+            "offsets": {str(b): int(s) for b, s in sorted(payload["offsets"].items())},
+            "schema": payload["schema_json"],
+            "n_keys": payload["n_keys"],
+            "seq_min": payload["seq_min"],
+            "seq_max": payload["seq_max"],
+            "lineage": lineage or {},
+            "metrics": metrics or {},
+            "staged_at": time.time(),
+        }
+        self._staged_dir().mkdir(exist_ok=True)
+        fd, tmp = tempfile.mkstemp(prefix=".tmp.", dir=self._staged_dir())
+        with os.fdopen(fd, "w") as f:
+            json.dump(staged, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, p)
+        return {"n_keys": payload["n_keys"], "seq_min": payload["seq_min"],
+                "seq_max": payload["seq_max"]}
+
+    def staged(self) -> dict[str, dict]:
+        """Pending stages: name → summary (batch_id, base_version, n_keys,
+        seq range, staged_at). Torn ``.tmp.*`` files are ignored."""
+        d = self._staged_dir()
+        if not d.exists():
+            return {}
+        out: dict[str, dict] = {}
+        for p in sorted(d.glob("*.json")):
+            if p.name.startswith(".tmp."):
+                continue
+            s = json.loads(p.read_text())
+            out[s["name"]] = {k: s[k] for k in
+                              ("batch_id", "base_version", "n_keys",
+                               "seq_min", "seq_max", "staged_at")}
+        return out
+
+    def read_staged(self, spark: SparkSession, name: str) -> DataFrame | None:
+        """Audit read: the staged batch's rows (per-key winners incl.
+        tombstones, with the bucket column) — what an audit job runs its
+        CHECK constraints over before ``publish_staged``."""
+        p = self._staged_path(name)
+        if not p.exists():
+            return None
+        s = json.loads(p.read_text())
+        files = [str(self.root / f) for fs in s["files_add"].values() for f in fs]
+        if not files:
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(*files).withColumn(
+            BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets))
+
+    def publish_staged(self, name: str, require_fast_forward: bool = True) -> bool:
+        """Write-audit-publish, step 2: atomically promote the staged batch
+        into the snapshot log — a pure manifest commit, identical in every
+        downstream observable (change feed, offsets, lineage, zone maps)
+        to a direct ``commit_delta_auto``.
+
+        ``require_fast_forward=True`` (default) refuses when the table
+        advanced past the stage's base version: merge-on-read LWW makes
+        out-of-order publication CORRECT for final state (winners are
+        decided by seq_no, not arrival), but an audit that validated
+        against the old base may be stale — pass False to publish anyway
+        (the lineage records both versions).
+
+        Returns False (and cleans up the stage marker) when the batch was
+        already committed — the crash-between-publish-and-unlink window
+        heals idempotently on retry."""
+        p = self._staged_path(name)
+        if not p.exists():
+            raise RuntimeError(f"no stage named {name!r}")
+        s = json.loads(p.read_text())
+        if self.is_committed(s["batch_id"]):
+            p.unlink()  # crashed after _publish last time — finish cleanup
+            return False
+        self._acquire_writer()
+        head = self.version
+        if require_fast_forward and head != s["base_version"]:
+            raise RuntimeError(
+                f"stage {name!r} was built on v{s['base_version']} but the "
+                f"table is at v{head} — re-audit and publish with "
+                f"require_fast_forward=False, or drop the stage")
+        seq_max = s["seq_max"]
         self._publish(
-            batch_id=batch_id, files_add=new_files,
-            watermark_seq=seq_max if seq_max is not None else prev_wm,
-            lineage={**(lineage or {}), "seq_min": seq_min, "seq_max": seq_max,
-                     "n_keys": n_keys},
-            metrics=metrics, schema_json=schema_json, offsets=offsets,
-            file_stats=self._collect_file_stats(new_files),
+            batch_id=s["batch_id"], files_add=s["files_add"],
+            watermark_seq=seq_max if seq_max is not None else self.watermark(),
+            lineage={**s["lineage"], "seq_min": s["seq_min"],
+                     "seq_max": seq_max, "n_keys": s["n_keys"],
+                     "staged_as": name, "staged_base_version": s["base_version"],
+                     "published_at_version": head + 1},
+            metrics=s["metrics"] or None, schema_json=s["schema"],
+            offsets={int(b): v for b, v in s["offsets"].items()},
+            file_stats=s["file_stats"],
         )
-        return {"n_keys": n_keys, "seq_min": seq_min, "seq_max": seq_max}
+        p.unlink()
+        return True
+
+    def drop_staged(self, name: str) -> bool:
+        """Discard a staged batch: unlink its data files and the stage
+        marker. Idempotent (False when no such stage)."""
+        p = self._staged_path(name)
+        if not p.exists():
+            return False
+        self._acquire_writer()
+        s = json.loads(p.read_text())
+        if not self.is_committed(s["batch_id"]):
+            # committed means the files are live table data — marker only
+            for fs in s["files_add"].values():
+                for f in fs:
+                    (self.root / f).unlink(missing_ok=True)
+        p.unlink()
+        for d in sorted((self.root / "data").rglob("*"), reverse=True):
+            if d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
+        return True
+
+    def _staged_referenced_files(self) -> set[str]:
+        """Files held by pending stages — protected from vacuum/fsck sweeps
+        (a staged batch is invisible but NOT an orphan)."""
+        out: set[str] = set()
+        for name in self.staged():
+            s = json.loads(self._staged_path(name).read_text())
+            for fs in s["files_add"].values():
+                out.update(fs)
+        return out
 
     def hot_buckets(self, threshold: int) -> list[int]:
         """Buckets whose delta-generation count (== file count) has reached
@@ -1429,7 +1615,7 @@ class SnapshotTable:
         if not entries:
             return set()
         state = self._load_state(version=entries[0][0])
-        referenced: set[str] = set()
+        referenced: set[str] = set(self._staged_referenced_files())
         for fs in state["files"].values():
             referenced.update(fs)
         for _, kind, p in entries[1:]:
@@ -1568,8 +1754,9 @@ class SnapshotTable:
         # own files map rather than delta-applying it (a ckpt's
         # files_add covers only its companion commit; treating it as a
         # delta would drop every file the ckpt carries but the running
-        # state doesn't, and vacuum would unlink live data)
-        referenced: set[str] = set()
+        # state doesn't, and vacuum would unlink live data). Pending WAP
+        # stages hold files no manifest references yet — protected too.
+        referenced: set[str] = set(self._staged_referenced_files())
         for fs in state["files"].values():
             referenced.update(fs)
         for _, kind, p in kept[1:]:
