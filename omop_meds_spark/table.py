@@ -135,6 +135,68 @@ def zorder_value(quantized: list[F.Column], bits: int = 16) -> F.Column:
     return z
 
 
+#: manifest Bloom filters (Parquet-bloom / Iceberg-puffin analogue):
+#: 2048 bits (256 B, ~344 B base64 in the manifest) per column per file,
+#: k=4 double-hashed probes — ~1% false-positive rate at 256 distinct
+#: values per file, ~5% at 512. Sized for the one-file-per-bucket layout.
+BLOOM_BITS = 2048
+BLOOM_K = 4
+BLOOM_WORDS = BLOOM_BITS // 64
+
+
+def _bloom_pos_exprs(col) -> list[F.Column]:
+    """Per-row bit positions via double hashing: pos_i = (h1 + i*h2) mod m
+    with both base hashes pre-reduced mod m so the sum never overflows
+    (ANSI mode throws on long overflow). The value is hashed through
+    CAST(string) so write side (column) and probe side (literal) agree on
+    representation regardless of the column's native type."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    h1 = F.pmod(F.xxhash64(c), F.lit(BLOOM_BITS))
+    h2 = F.pmod(F.xxhash64(c, F.lit(1337)), F.lit(BLOOM_BITS))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS)) for i in range(BLOOM_K)]
+
+
+def _bloom_word_expr(positions: list[F.Column], w: int) -> F.Column:
+    """The 64-bit word ``w`` of a row's Bloom contribution — OR-folded by
+    ``bit_or`` in a map-side-combining aggregate."""
+    acc = F.lit(0).cast("long")
+    for p in positions:
+        in_w = (p >= w * 64) & (p < (w + 1) * 64)
+        # F.shiftleft only accepts a literal shift; the SQL function takes
+        # a Column — call it directly
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"),
+                              (p - w * 64).cast("int"))
+        acc = acc.bitwiseOR(
+            F.when(in_w, bit).otherwise(F.lit(0).cast("long")))
+    return acc
+
+
+def _bloom_excludes(b64: str | None, positions: list[int]) -> bool:
+    """True when the file's Bloom filter PROVES the probed value is absent
+    (any probe bit unset). Missing filter = never exclude (lossless).
+
+    Bit layout: little-endian words, so global bit p lives at byte p>>3,
+    bit p&7.
+
+    >>> import base64
+    >>> bits = bytearray(BLOOM_BITS // 8)
+    >>> for p in (3, 100, 700, 2000): bits[p >> 3] |= 1 << (p & 7)
+    >>> b64 = base64.b64encode(bytes(bits)).decode()
+    >>> _bloom_excludes(b64, [3, 100, 700, 2000])
+    False
+    >>> _bloom_excludes(b64, [3, 100, 701, 2000])
+    True
+    >>> _bloom_excludes(None, [3])
+    False
+    """
+    if not b64:
+        return False
+    import base64
+
+    bits = base64.b64decode(b64)
+    return any(not (bits[p >> 3] >> (p & 7)) & 1 for p in positions)
+
+
 def _empty_state() -> dict:
     return {
         "version": -1,
@@ -298,7 +360,8 @@ class SnapshotTable:
 
     def __init__(self, root: str | Path, key_cols: list[str],
                  n_buckets: int | None = None, checkpoint_every: int = 16,
-                 stats_cols: list[str] | None = None):
+                 stats_cols: list[str] | None = None,
+                 bloom_cols: list[str] | None = None):
         self.root = Path(root)
         self.key_cols = list(key_cols)
         self.checkpoint_every = max(1, checkpoint_every)
@@ -336,12 +399,15 @@ class SnapshotTable:
             self._cache = None
             self.n_buckets = stored_buckets  # _load_state needs no layout,
             self.stats_cols = []             # but be fully initialized
+            self.bloom_cols = []
             log_buckets = (self._load_state() or {}).get("n_buckets")
             if log_buckets is not None and int(log_buckets) != stored_buckets:
                 stored_buckets = int(log_buckets)
                 self.n_buckets = stored_buckets
                 self.stats_cols = (list(stats_cols) if stats_cols is not None
                                    else list(stored.get("stats_cols", [])))
+                self.bloom_cols = (list(bloom_cols) if bloom_cols is not None
+                                   else list(stored.get("bloom_cols", [])))
                 self._stamp_table_meta()
             if n_buckets is not None and int(n_buckets) != stored_buckets:
                 raise ValueError(
@@ -355,9 +421,12 @@ class SnapshotTable:
             # override is safe — it only changes what FUTURE commits record
             self.stats_cols = (list(stats_cols) if stats_cols is not None
                                else list(stored.get("stats_cols", [])))
+            self.bloom_cols = (list(bloom_cols) if bloom_cols is not None
+                               else list(stored.get("bloom_cols", [])))
         else:
             self.n_buckets = int(n_buckets) if n_buckets is not None else 32
             self.stats_cols = list(stats_cols or [])
+            self.bloom_cols = list(bloom_cols or [])
             self._stamp_table_meta()
         # NOTE: _cache is declared above, BEFORE the stored-layout branch —
         # the open-heal _load_state() there already replayed and cached the
@@ -372,7 +441,8 @@ class SnapshotTable:
         tmp.write_text(json.dumps({
             "format": 1, "key_cols": self.key_cols,
             "n_buckets": self.n_buckets,
-            "stats_cols": self.stats_cols}))
+            "stats_cols": self.stats_cols,
+            "bloom_cols": getattr(self, "bloom_cols", [])}))
         tmp.replace(meta_path)  # atomic publish, same as manifests
 
     # --------------------------------------------------------- writer lock
@@ -721,7 +791,8 @@ class SnapshotTable:
     def read(self, spark: SparkSession, buckets: list[int] | None = None,
              version: int | None = None,
              between: tuple[str, object, object] | None = None,
-             ref: str | None = None) -> DataFrame | None:
+             ref: str | None = None,
+             eq: tuple[str, object] | None = None) -> DataFrame | None:
         """Read table state (optionally only the given buckets — manifest-
         driven pruning, no directory listing). ``version`` time-travels to
         an earlier snapshot: data files are immutable and manifests are
@@ -736,7 +807,15 @@ class SnapshotTable:
         row predicate still applies on the survivors (files with no
         recorded stats are scanned, so pruning is never lossy).
 
-        ``ref="name"`` time-travels to a tagged snapshot (``tag()``)."""
+        ``ref="name"`` time-travels to a tagged snapshot (``tag()``).
+
+        ``eq=(col, value)`` is the equality read: zone-map pruning on
+        ``[value, value]`` PLUS manifest Bloom-filter skipping — files
+        whose ``bloom_cols`` filter proves the value absent are never
+        opened, which is the pruning high-cardinality values (commit shas,
+        paths) need where min/max bounds are useless. Lossless: files with
+        no recorded filter are scanned, and the exact predicate still
+        applies to survivors."""
         version = self._resolve_version(version, ref)
         m = self._load_state(version)
         if m is None:
@@ -746,6 +825,14 @@ class SnapshotTable:
             # under the CURRENT layout and don't address this version's
             # buckets — fall back to a full (correct, unpruned) read
             buckets = None
+        bloom_pos = None
+        if eq is not None:
+            if between is not None:
+                raise ValueError("pass eq= or between=, not both")
+            if eq[1] is None:
+                raise ValueError("eq= needs a non-null probe value")
+            between = (eq[0], eq[1], eq[1])
+            bloom_pos = self._bloom_probe_positions(spark, eq[1])
         stats = m.get("file_stats", {})
         jlo = jhi = col = None
         if between is not None:
@@ -755,9 +842,14 @@ class SnapshotTable:
         for b, fs in m["files"].items():
             if buckets is None or int(b) in buckets:
                 for f in fs:
-                    if between is None or _stats_overlap(
-                            stats.get(f, {}).get(col), jlo, jhi):
-                        files.append(str(self.root / f))
+                    fst = stats.get(f, {})
+                    if between is not None and not _stats_overlap(
+                            fst.get(col), jlo, jhi):
+                        continue
+                    if bloom_pos is not None and _bloom_excludes(
+                            fst.get("__bloom__", {}).get(col), bloom_pos):
+                        continue
+                    files.append(str(self.root / f))
         if not files:
             return None
         # Direct-file reads skip hive partition discovery, so the bucket
@@ -776,7 +868,8 @@ class SnapshotTable:
     def read_live(self, spark: SparkSession, buckets: list[int] | None = None,
                   op_col: str = "op", version: int | None = None,
                   between: tuple[str, object, object] | None = None,
-                  ref: str | None = None) -> DataFrame | None:
+                  ref: str | None = None,
+                  eq: tuple[str, object] | None = None) -> DataFrame | None:
         """Current state minus delete tombstones (the user-facing table).
 
         Merge-on-read: LWW-reduces across a bucket's delta generations.
@@ -802,6 +895,11 @@ class SnapshotTable:
             return None
         if buckets is not None and m.get("n_buckets", self.n_buckets) != self.n_buckets:
             buckets = None  # cross-layout time travel — see read()
+        if eq is not None:
+            if between is not None:
+                raise ValueError("pass eq= or between=, not both")
+            between = (eq[0], eq[1], eq[1])  # same winner-filter semantics;
+            # single-generation buckets additionally Bloom-prune via read(eq=)
         from .operators.upsert import last_writer_wins
 
         def lww(d: DataFrame) -> DataFrame:
@@ -823,7 +921,9 @@ class SnapshotTable:
         multi = [int(b) for b in wanted if len(m["files"][b]) > 1]
         parts: list[DataFrame] = []
         if single:
-            d1 = self.read(spark, single, version=version, between=between)
+            d1 = (self.read(spark, single, version=version, eq=eq)
+                  if eq is not None else
+                  self.read(spark, single, version=version, between=between))
             if d1 is not None:  # single-generation: rows ARE the winners
                 parts.append(d1.drop(BUCKET_COL))
         if multi:
@@ -1114,10 +1214,12 @@ class SnapshotTable:
                 seq_min = int(lo) if seq_min is None else min(seq_min, int(lo))
                 seq_max = int(hi) if seq_max is None else max(seq_max, int(hi))
 
+        file_stats = self._merge_file_stats(
+            self._collect_file_stats(new_files),
+            self._bloom_stats(delta, new_files))
         return {"new_files": new_files, "offsets": offsets, "n_keys": n_keys,
                 "seq_min": seq_min, "seq_max": seq_max,
-                "schema_json": schema_json,
-                "file_stats": self._collect_file_stats(new_files)}
+                "schema_json": schema_json, "file_stats": file_stats}
 
     # -------------------------------------------------- write-audit-publish
     def _staged_dir(self) -> Path:
@@ -1352,10 +1454,14 @@ class SnapshotTable:
         )
         tag = f"compact{prev['version'] + 1:06d}"
         reduced = reduced.repartition(max(len(target), 1), F.col(BUCKET_COL))
+        persisted = None
+        if self.bloom_cols or (cluster_by and cluster_mode == "zorder"):
+            # maintenance path needs >1 action over the reduce (bloom agg
+            # and/or z-order bounds) — persist so it computes once; keep a
+            # handle to the EXACT persisted frame (later reassignments
+            # derive from it, and unpersist is per-frame)
+            reduced = persisted = reduced.persist()
         if cluster_by and cluster_mode == "zorder":
-            # one agg pass for the quantization bounds (maintenance path —
-            # persist so the LWW reduce upstream computes once)
-            reduced = reduced.persist()
             bounds = reduced.agg(*[f(F.col(c).cast("double")).alias(f"{t}_{c}")
                                    for c in cluster_by
                                    for t, f in (("mn", F.min), ("mx", F.max))]
@@ -1376,9 +1482,12 @@ class SnapshotTable:
                 BUCKET_COL, *[F.col(c) for c in cluster_by])
         try:
             new_files = self._write_bucketed(reduced, tag, target)
+            file_stats = self._merge_file_stats(
+                self._collect_file_stats(new_files),
+                self._bloom_stats(reduced, new_files))
         finally:
-            if cluster_by and cluster_mode == "zorder":
-                reduced.unpersist()
+            if persisted is not None:
+                persisted.unpersist()
         self._publish(batch_id=prev["batch_id"],
                       files_replace={str(b): new_files.get(str(b), []) for b in target},
                       watermark_seq=prev.get("watermark_seq", -1),
@@ -1386,7 +1495,7 @@ class SnapshotTable:
                                **({"cluster_by": cluster_by,
                                    "cluster_mode": cluster_mode}
                                   if cluster_by else {})},
-                      file_stats=self._collect_file_stats(new_files),
+                      file_stats=file_stats,
                       add_committed=False)
         return True
 
@@ -1844,6 +1953,59 @@ class SnapshotTable:
             return {}
         with ThreadPoolExecutor(min(16, len(rels))) as pool:
             return {rel: st for rel, st in pool.map(one, rels) if st}
+
+    def _bloom_stats(self, df: DataFrame,
+                     new_files: dict[str, list[str]]) -> dict[str, dict]:
+        """Per-file Bloom filters for ``bloom_cols``, computed as ONE
+        map-side-combining Spark aggregate over the rows being written
+        (O(batch), 32 ``bit_or`` words per column, zero Python in the
+        plan) and keyed to files through the one-file-per-bucket-per-
+        generation layout invariant. Equality reads skip files whose
+        filter proves the value absent — the pruning zone maps cannot do
+        for high-cardinality values (commit shas, paths) whose min/max
+        bounds are useless. Opt-in via ``bloom_cols``; a bucket that ever
+        writes >1 file in a generation simply records no filter (lossless:
+        unfiltered files are always scanned)."""
+        cols = [c for c in self.bloom_cols if c in df.columns]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            pos = _bloom_pos_exprs(c)
+            aggs.extend(
+                F.bit_or(_bloom_word_expr(pos, w)).alias(f"__bf_{c}__{w}")
+                for w in range(BLOOM_WORDS))
+        import base64
+
+        out: dict[str, dict] = {}
+        for r in df.groupBy(BUCKET_COL).agg(*aggs).collect():
+            fs = new_files.get(str(r[BUCKET_COL]), [])
+            if len(fs) != 1:
+                continue
+            per_col = {}
+            for c in cols:
+                words = [(r[f"__bf_{c}__{w}"] or 0) & 0xFFFFFFFFFFFFFFFF
+                         for w in range(BLOOM_WORDS)]
+                raw = b"".join(w.to_bytes(8, "little") for w in words)
+                per_col[c] = base64.b64encode(raw).decode()
+            out[fs[0]] = {"__bloom__": per_col}
+        return out
+
+    @staticmethod
+    def _merge_file_stats(stats: dict[str, dict],
+                          blooms: dict[str, dict]) -> dict[str, dict]:
+        for rel, extra in blooms.items():
+            stats.setdefault(rel, {}).update(extra)
+        return stats
+
+    def _bloom_probe_positions(self, spark: SparkSession, value) -> list[int]:
+        """The probed value's bit positions, computed by the SAME Spark
+        expressions as the write side (one-row local job — the same
+        pattern as ``key_bucket``'s hash-parity probe)."""
+        exprs = _bloom_pos_exprs(F.lit(value))
+        row = spark.range(1).select(
+            *[e.alias(f"p{i}") for i, e in enumerate(exprs)]).collect()[0]
+        return [int(row[f"p{i}"]) for i in range(BLOOM_K)]
 
     def _publish(self, *, batch_id: int, files_add: dict[str, list[str]] | None = None,
                  files_replace: dict[str, list[str]] | None = None,
