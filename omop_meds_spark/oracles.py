@@ -144,6 +144,28 @@ w AS (
 SELECT user_id, seq_no, event_type, op, commit_batch FROM w WHERE rn = 1
 """
 
+# WAP publish must be byte-identical to a direct apply — the oracle IS the
+# direct-apply SQL (twin of queries.wap_staged_apply)
+ORACLES["wap_staged_apply"] = """
+WITH w AS (
+  SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+# Bloom-filtered equality read: pruning must be invisible to results —
+# the oracle is the plain winner filter (twin of queries.bloom_eq_read)
+ORACLES["bloom_eq_read"] = """
+WITH w AS (
+  SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, ts AS last_ts, value AS last_value
+FROM w WHERE rn = 1 AND op <> 'D' AND event_type = 'purchase'
+"""
+
 ORACLES["dedup_earliest"] = """
 SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
 FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey

@@ -309,6 +309,80 @@ def table_restore(spark, sf_dir):
     )
 
 
+def wap_staged_apply(spark, sf_dir):
+    """Write-audit-publish end to end through the real table API
+    (table.py:stage_delta/read_staged/publish_staged — the Iceberg WAP
+    analogue): batch 0 commits directly, batch 1 is STAGED, audited (the
+    audit must see exactly the staged winners), then published. The final
+    live state must be byte-identical to a direct two-batch apply — the
+    same oracle as cdc_apply_events."""
+    import tempfile
+
+    from .table import SnapshotTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn("seq_no", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("event_id", "seq_no", "user_id", "event_type", "value", "op")
+    )
+    tbl = SnapshotTable(tempfile.mkdtemp(prefix="cdc_wap_"), ["user_id"],
+                        n_buckets=8)
+    w0 = last_writer_wins(ev.filter(F.pmod("event_id", F.lit(2)) == 0), ["user_id"])
+    w1 = last_writer_wins(ev.filter(F.pmod("event_id", F.lit(2)) == 1), ["user_id"])
+    tbl.commit_delta_auto(w0, 0)
+    staged = tbl.stage_delta(w1, 1, "audit")
+    audit = tbl.read_staged(spark, "audit")
+    if audit is None or audit.count() != staged["n_keys"]:
+        raise RuntimeError("WAP audit saw a different batch than was staged")
+    tbl.publish_staged("audit")
+    live = tbl.read_live(spark)
+    return live.select(
+        "user_id",
+        F.timestamp_micros(F.col("seq_no")).alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def bloom_eq_read(spark, sf_dir):
+    """Equality read through manifest Bloom filters (table.py:read_live
+    eq= — Parquet-bloom/Iceberg-puffin analogue): events replay into a
+    bloom_cols=['event_type'] table as two batches, then the live rows
+    whose WINNING event_type is 'purchase' are read with eq= (Bloom +
+    zone-map file skipping, exact filter on survivors). Oracle: the LWW
+    winners filtered to that type, minus tombstones."""
+    import tempfile
+
+    from .table import SnapshotTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn("seq_no", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("event_id", "seq_no", "user_id", "event_type", "value", "op")
+    )
+    tbl = SnapshotTable(tempfile.mkdtemp(prefix="cdc_bloom_"), ["user_id"],
+                        n_buckets=8, bloom_cols=["event_type"])
+    for b in (0, 1):
+        winners = last_writer_wins(
+            ev.filter(F.pmod("event_id", F.lit(2)) == b), ["user_id"])
+        tbl.commit_delta_auto(winners, b)
+    tbl.compact(spark)  # single-generation: the Bloom-pruned fast path
+    live = tbl.read_live(spark, eq=("event_type", "purchase"))
+    return live.select(
+        "user_id",
+        F.timestamp_micros(F.col("seq_no")).alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def incremental_agg_view(spark, sf_dir):
     """Materialized GROUP BY, maintained INCREMENTALLY from the change
     feed through the real table API: events replay into a SnapshotTable as
@@ -1079,6 +1153,8 @@ ALL_QUERIES = {
     "sessionize": sessionize,
     "incremental_agg_view": incremental_agg_view,
     "table_restore": table_restore,
+    "wap_staged_apply": wap_staged_apply,
+    "bloom_eq_read": bloom_eq_read,
     "scd2_view_intervals": scd2_view_intervals,
     "rollup_order_stats": rollup_order_stats,
     "top_orders_per_priority": top_orders_per_priority,
