@@ -1686,6 +1686,61 @@ class SnapshotTable:
                 "changed": int(stats["n_keys"]) if stats else 0,
                 "version": self.version}
 
+    def clone_to(self, target_root: str | Path) -> "SnapshotTable":
+        """Zero-copy SHALLOW CLONE (Delta ``SHALLOW CLONE`` / Iceberg
+        snapshot-branch analogue): create a new table whose v0 checkpoint
+        references THIS table's current data files by ABSOLUTE path — no
+        data is copied, so branching a 100 TB table is one manifest write.
+
+        The clone is a fully independent table from then on: new commits,
+        compaction, and rebucket write under ITS root; compaction gradually
+        rewrites bucket file lists to local files, weaning the clone off
+        the source. Committed batch ids, per-bucket offsets, watermark,
+        schema, and zone-map/Bloom stats all carry over, so replaying the
+        source's WAL into the clone is exactly-once from the branch point.
+
+        Maintenance safety: the clone's ``vacuum``/``fsck`` only ever
+        unlink files under its OWN ``data/`` directory, so source files
+        are structurally out of reach. The inverse is the standard shallow-
+        clone caveat: a ``vacuum`` on the SOURCE can retire files the clone
+        still references — keep a tag on the source at the branch point
+        (``tag()`` pins its snapshot through vacuum) for as long as the
+        clone lives.
+
+        Target must be empty (no log entries). Returns the clone handle.
+        """
+        state = self._load_state()
+        if state is None:
+            raise RuntimeError(f"clone_to: source table {self.root} is empty")
+        tgt = SnapshotTable(target_root, self.key_cols,
+                            n_buckets=state.get("n_buckets", self.n_buckets),
+                            checkpoint_every=self.checkpoint_every,
+                            stats_cols=self.stats_cols,
+                            bloom_cols=self.bloom_cols)
+        if tgt._log_entries():
+            raise RuntimeError(f"clone_to: target {tgt.root} is not empty")
+        files_abs = {b: [str(self.root / f) for f in fs]
+                     for b, fs in state["files"].items()}
+        stats_abs = {str(self.root / f): st
+                     for f, st in state.get("file_stats", {}).items()}
+        manifest = {
+            **state,
+            "version": 0,
+            "kind": "ckpt",
+            "files": files_abs,
+            "file_stats": stats_abs,
+            "files_add": {},
+            "files_replace": {},
+            "commit": None,
+            "lineage": {"clone": {"clone_of": str(self.root),
+                                  "clone_source_version": state["version"]}},
+            "metrics": {},
+            "committed_at": time.time(),
+        }
+        tgt._write_manifest(manifest, 0, "ckpt")
+        tgt._cache = None
+        return tgt
+
     def _foreign_manifests(self) -> list[str]:
         """Manifest-like files under ``_log/`` that this log format does
         not recognize (any ``*.json`` not matching ``v{n}-{ckpt|delta}``,
