@@ -46,7 +46,7 @@ from .schemas import (
     SEQ_COL,
 )
 from .sources.wal import WalBatch, WalReader
-from .table import SnapshotTable
+from .table import BUCKET_COL, SnapshotTable
 
 VALID_OPS = ("I", "U", "D")
 
@@ -118,6 +118,7 @@ def merge_commit_target(
     batch_id: int,
     lineage: dict,
     schema_json: str | None = None,
+    prepartitioned: bool = False,
 ) -> dict:
     """Commit a per-key delta (one winner row per key, CDC envelope intact)
     into a snapshot table — the shared kernel behind both the source-mirror
@@ -128,7 +129,8 @@ def merge_commit_target(
     stats / offsets / watermark come from the written parquet footers
     (``commit_delta_auto``) — the write is the ONLY Spark action."""
     st = table.commit_delta_auto(
-        delta, batch_id, lineage=lineage, schema_json=schema_json
+        delta, batch_id, lineage=lineage, schema_json=schema_json,
+        prepartitioned=prepartitioned,
     )
     if st is None:
         return {"n_keys": 0, "seq_min": None, "seq_max": table.watermark(),
@@ -317,10 +319,26 @@ class CDCRunner:
         # steady state the overwhelming majority of events lose (~97% on the
         # bench WAL). Ordering the plan winners-first cuts the sha256 +
         # regex + Arrow-UDF work AND the shuffle payload by that factor.
-        # winners feed two merges — persist so the LWW shuffle runs once.
-        winners = self.normalize(
-            last_writer_wins(events, KEY_COLS, n_salts=self.n_salts, salted=self.salted)
-        ).persist()
+        #
+        # The winners are REPARTITIONED BY THE STATE TABLE'S BUCKET before
+        # normalize + persist: the cache then stores few bucket-aligned
+        # partitions (delta_partitions()-sized, not shuffle.partitions wide),
+        # the state write runs exchange-free straight from the cache
+        # (prepartitioned=True skips the commit's own repartition), the
+        # MEDS job re-reads delta_partitions() cache blocks instead of 64,
+        # and the normalize columns are computed AFTER the exchange so they
+        # never transit a shuffle. Net effect per batch: one fewer exchange
+        # and ~4x fewer hot-loop tasks — serial driver/scheduler cost is
+        # what caps N→4N scaling efficiency, so the fixed overhead matters
+        # as much as the scan math.
+        from .table import bucket_expr
+
+        lww = last_writer_wins(
+            events, KEY_COLS, n_salts=self.n_salts, salted=self.salted
+        ).withColumn(BUCKET_COL, bucket_expr(KEY_COLS, self.n_buckets))
+        lww = lww.repartition(
+            self.table.delta_partitions(self.spark), F.col(BUCKET_COL))
+        winners = self.normalize(lww).persist()
         try:
             lineage = {"files": list(batch.files), "schema_version": self.registry.version}
             if self.dlq:
@@ -339,6 +357,7 @@ class CDCRunner:
                 f_state = pool.submit(
                     merge_commit_target, self.spark, self.table, winners,
                     batch.batch_id, lineage, self.registry.schema_json(),
+                    True,  # prepartitioned: winners cache is bucket-aligned
                 )
                 f_meds = pool.submit(
                     merge_commit_target, self.spark, self.meds_table,

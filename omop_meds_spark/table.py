@@ -1099,6 +1099,15 @@ class SnapshotTable:
                       file_stats=self._collect_file_stats(new_files))
         return True
 
+    def delta_partitions(self, spark: SparkSession) -> int:
+        """Partition count for a delta write: enough for parallelism, no
+        more — ``partitionBy`` still emits exactly one file per bucket
+        because each bucket's rows hash to one partition. Exposed so a
+        caller can pre-partition the delta INSIDE its own cached pipeline
+        (see ``prepartitioned=`` on ``commit_delta_auto``) with the exact
+        formula the write would otherwise apply."""
+        return min(self.n_buckets, max(2, spark.sparkContext.defaultParallelism * 2))
+
     def commit_delta_auto(
         self,
         delta: DataFrame,
@@ -1107,6 +1116,7 @@ class SnapshotTable:
         metrics: dict | None = None,
         schema_json: str | None = None,
         seq_col: str = "seq_no",
+        prepartitioned: bool = False,
     ) -> dict | None:
         """Merge-on-read commit whose bucket stats come from the WRITTEN
         parquet footers instead of a separate Spark aggregation job.
@@ -1129,7 +1139,8 @@ class SnapshotTable:
         if self.is_committed(batch_id):
             return None
         payload = self._write_delta_with_stats(
-            delta, f"b{batch_id:06d}", seq_col, schema_json)
+            delta, f"b{batch_id:06d}", seq_col, schema_json,
+            prepartitioned=prepartitioned)
         prev_wm = self.watermark()
         seq_min, seq_max = payload["seq_min"], payload["seq_max"]
         self._publish(
@@ -1144,7 +1155,8 @@ class SnapshotTable:
 
     def _write_delta_with_stats(self, delta: DataFrame, dirname: str,
                                 seq_col: str = "seq_no",
-                                schema_json: str | None = None) -> dict:
+                                schema_json: str | None = None,
+                                prepartitioned: bool = False) -> dict:
         """Write a delta's bucketed parquet under ``data/{dirname}`` and
         derive the commit payload (files, per-bucket offsets, watermark
         inputs, zone-map stats) from the WRITTEN footers — the shared body
@@ -1156,15 +1168,22 @@ class SnapshotTable:
         # silently probe the wrong bucket
         if schema_json is None:
             schema_json = delta.drop(BUCKET_COL).schema.json()
-        if BUCKET_COL not in delta.columns:
-            delta = delta.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets))
-        # partition count: enough for parallelism, no more — partitionBy
-        # still emits exactly one file per bucket (a bucket's rows hash to
-        # one partition), so the generation-counting invariant holds while
-        # a low-core run stops paying 32 task roundtrips for a tiny delta
         spark = delta.sparkSession
-        nparts = min(self.n_buckets, max(2, spark.sparkContext.defaultParallelism * 2))
-        delta = delta.repartition(nparts, F.col(BUCKET_COL))
+        if prepartitioned:
+            # caller guarantees BUCKET_COL is present and the DataFrame is
+            # already hash-partitioned by it (delta_partitions()-sized) —
+            # typically so a persisted upstream cache stores bucket-aligned
+            # partitions and THIS write runs exchange-free from the cache
+            if BUCKET_COL not in delta.columns:
+                raise ValueError("prepartitioned=True requires the bucket column")
+        else:
+            if BUCKET_COL not in delta.columns:
+                delta = delta.withColumn(
+                    BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets))
+            # see delta_partitions(): one file per bucket regardless of the
+            # partition count, while a low-core run stops paying 32 task
+            # roundtrips for a tiny delta
+            delta = delta.repartition(self.delta_partitions(spark), F.col(BUCKET_COL))
         staging = self.root / "data" / dirname
         delta.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(staging))
 

@@ -668,3 +668,39 @@ def test_zorder_never_sets_the_sign_bit(spark):
     zs = sorted(out.values())
     assert all(z >= 0 for z in zs)
     assert zs[0] == 0 and zs[1] > 0  # all-min sorts before all-max
+
+
+def test_prepartitioned_commit_matches_default_path(spark, tmpdir_path):
+    """commit_delta_auto(prepartitioned=True) — the runner's exchange-free
+    hot path (the winners cache is already bucket-hash-partitioned) — must
+    produce a byte-equivalent table to the default path: same live rows,
+    same one-file-per-bucket layout, same per-bucket offsets/watermark."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    rows = [(f"r{i % 7}", f"p{i}", i + 1, "U") for i in range(60)]
+    ta = SnapshotTable(Path(tmpdir_path) / "a", KEYS, n_buckets=4)
+    tb = SnapshotTable(Path(tmpdir_path) / "b", KEYS, n_buckets=4)
+
+    # default path: no bucket column, commit computes + repartitions itself
+    plain = spark.createDataFrame(rows, "repo string, path string, seq_no long, op string")
+    sa = ta.commit_delta_auto(plain, 0)
+
+    # prepartitioned path: caller buckets + aligns exactly as the runner does
+    pre = plain.withColumn(BUCKET_COL, bucket_expr(KEYS, 4)).repartition(
+        tb.delta_partitions(spark), F.col(BUCKET_COL))
+    sb = tb.commit_delta_auto(pre, 0, prepartitioned=True)
+
+    assert _live_rows(spark, ta) == _live_rows(spark, tb)
+    assert sa == sb  # n_keys / seq_min / seq_max
+    ma, mb = ta.latest(), tb.latest()
+    assert ma["offsets"] == mb["offsets"]
+    assert ma["watermark_seq"] == mb["watermark_seq"]
+    fa, fb = ma["files"], mb["files"]
+    assert {b: len(v) for b, v in fa.items()} == {b: len(v) for b, v in fb.items()}
+    # one-file-per-bucket invariant survives the skipped repartition
+    assert all(len(v) == 1 for v in fb.values())
+
+    # guard: the caller's contract is BUCKET_COL present
+    with pytest.raises(ValueError, match="bucket"):
+        tb.commit_delta_auto(plain, 1, prepartitioned=True)
