@@ -187,10 +187,17 @@ class StreamingCDCRunner:
                 events = events.filter(valid_cond_with(self.constraints))
         # identical-payload redelivery needs no dedup shuffle — max_by over
         # (seq_no, event_id) is idempotent under duplicate copies.
-        # LWW first, normalize only the winners (see CDCRunner.apply_batch).
-        winners = normalize_events(
-            last_writer_wins(events, KEY_COLS, n_salts=self.n_salts, salted=self.salted)
-        ).persist()
+        # LWW first, normalize only the winners, cache bucket-aligned so the
+        # state write runs exchange-free (see CDCRunner.apply_batch — the
+        # batch runner's plan, mirrored).
+        from ..table import BUCKET_COL, bucket_expr
+
+        lww = last_writer_wins(
+            events, KEY_COLS, n_salts=self.n_salts, salted=self.salted
+        ).withColumn(BUCKET_COL, bucket_expr(KEY_COLS, self.n_buckets))
+        lww = lww.repartition(
+            self.table.delta_partitions(self.spark), F.col(BUCKET_COL))
+        winners = normalize_events(lww).persist()
         try:
             lineage = {"files": list(batch.files),
                        "schema_version": self.registry.version, "mode": "streaming"}
@@ -199,6 +206,7 @@ class StreamingCDCRunner:
             stats = merge_commit_target(
                 self.spark, self.table, winners, batch_id,
                 lineage=lineage, schema_json=self.registry.schema_json(),
+                prepartitioned=True,
             )
             merge_commit_target(
                 self.spark, self.meds_table, change_winners_to_meds(winners),
