@@ -46,7 +46,7 @@ from .schemas import (
     SEQ_COL,
 )
 from .sources.wal import WalBatch, WalReader
-from .table import BUCKET_COL, SnapshotTable
+from .table import SnapshotTable
 
 VALID_OPS = ("I", "U", "D")
 
@@ -330,14 +330,13 @@ class CDCRunner:
         # never transit a shuffle. Net effect per batch: one fewer exchange
         # and ~4x fewer hot-loop tasks — serial driver/scheduler cost is
         # what caps N→4N scaling efficiency, so the fixed overhead matters
-        # as much as the scan math.
-        from .table import bucket_expr
-
-        lww = last_writer_wins(
-            events, KEY_COLS, n_salts=self.n_salts, salted=self.salted
-        ).withColumn(BUCKET_COL, bucket_expr(KEY_COLS, self.n_buckets))
-        lww = lww.repartition(
-            self.table.delta_partitions(self.spark), F.col(BUCKET_COL))
+        # as much as the scan math. prepartition_delta is the TABLE's
+        # method, not inline bucket math: the layout (key_cols, n_buckets)
+        # is the table's to own, so a mid-lifetime rebucket() can never
+        # desynchronize the stamp from the write.
+        lww = self.table.prepartition_delta(
+            last_writer_wins(events, KEY_COLS, n_salts=self.n_salts, salted=self.salted)
+        )
         winners = self.normalize(lww).persist()
         try:
             lineage = {"files": list(batch.files), "schema_version": self.registry.version}

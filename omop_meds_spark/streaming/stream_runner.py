@@ -189,14 +189,10 @@ class StreamingCDCRunner:
         # (seq_no, event_id) is idempotent under duplicate copies.
         # LWW first, normalize only the winners, cache bucket-aligned so the
         # state write runs exchange-free (see CDCRunner.apply_batch — the
-        # batch runner's plan, mirrored).
-        from ..table import BUCKET_COL, bucket_expr
-
-        lww = last_writer_wins(
-            events, KEY_COLS, n_salts=self.n_salts, salted=self.salted
-        ).withColumn(BUCKET_COL, bucket_expr(KEY_COLS, self.n_buckets))
-        lww = lww.repartition(
-            self.table.delta_partitions(self.spark), F.col(BUCKET_COL))
+        # batch runner's plan, mirrored; the table owns the bucket stamp).
+        lww = self.table.prepartition_delta(
+            last_writer_wins(events, KEY_COLS, n_salts=self.n_salts, salted=self.salted)
+        )
         winners = normalize_events(lww).persist()
         try:
             lineage = {"files": list(batch.files),

@@ -1108,6 +1108,21 @@ class SnapshotTable:
         formula the write would otherwise apply."""
         return min(self.n_buckets, max(2, spark.sparkContext.defaultParallelism * 2))
 
+    def prepartition_delta(self, delta: DataFrame) -> DataFrame:
+        """Bucket-align a delta for ``commit_delta_auto(prepartitioned=True)``:
+        stamp THIS table's bucket id (its own ``key_cols``/``n_buckets`` —
+        never a caller-side copy that a mid-lifetime ``rebucket()`` would
+        silently invalidate) and hash-partition by it, ``delta_partitions()``
+        wide. Callers compute derived columns and ``persist()`` AFTER this so
+        the cache stores bucket-aligned partitions and the commit's own
+        repartition can be skipped."""
+        out = delta
+        if BUCKET_COL in out.columns:
+            out = out.drop(BUCKET_COL)
+        out = out.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets))
+        return out.repartition(
+            self.delta_partitions(out.sparkSession), F.col(BUCKET_COL))
+
     def commit_delta_auto(
         self,
         delta: DataFrame,
@@ -1214,6 +1229,23 @@ class SnapshotTable:
         bdirs = sorted(staging.glob(f"{BUCKET_COL}=*"))
         with ThreadPoolExecutor(min(16, max(1, len(bdirs)))) as pool:
             stats = list(pool.map(bucket_stats, bdirs))
+        if prepartitioned:
+            # the contract the caller asserted is cheap to CHECK from the
+            # staged layout the footer scan already enumerated — fail the
+            # commit instead of publishing a corrupt manifest if the bucket
+            # ids came from a stale layout (wrong n_buckets after rebucket)
+            # or the hash-alignment step was skipped (a bucket spanning
+            # partitions breaks the generation-count == file-count invariant)
+            bad = [b for b, fs, *_ in stats if fs and (b < 0 or b >= self.n_buckets)]
+            multi = [b for b, fs, *_ in stats if len(fs) > 1]
+            if bad or multi:
+                import shutil
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ValueError(
+                    f"prepartitioned delta violates the bucket contract: "
+                    f"out-of-range buckets {bad} (n_buckets={self.n_buckets}), "
+                    f"multi-file buckets {multi} — use "
+                    f"SnapshotTable.prepartition_delta() to build the input")
         new_files: dict[str, list[str]] = {}
         offsets: dict[int, int] = {}
         n_keys, seq_min, seq_max = 0, None, None
@@ -1565,7 +1597,7 @@ class SnapshotTable:
         self.n_buckets = new_n  # write path targets the new layout
         try:
             tag = f"rebucket{prev['version'] + 1:06d}"
-            nparts = min(new_n, max(2, spark.sparkContext.defaultParallelism * 2))
+            nparts = self.delta_partitions(spark)  # n_buckets is new_n here
             new_files = self._write_bucketed(
                 reduced.repartition(nparts, F.col(BUCKET_COL)),
                 tag, list(range(new_n)))

@@ -686,9 +686,8 @@ def test_prepartitioned_commit_matches_default_path(spark, tmpdir_path):
     plain = spark.createDataFrame(rows, "repo string, path string, seq_no long, op string")
     sa = ta.commit_delta_auto(plain, 0)
 
-    # prepartitioned path: caller buckets + aligns exactly as the runner does
-    pre = plain.withColumn(BUCKET_COL, bucket_expr(KEYS, 4)).repartition(
-        tb.delta_partitions(spark), F.col(BUCKET_COL))
+    # prepartitioned path: the table's own helper, exactly as the runners use
+    pre = tb.prepartition_delta(plain)
     sb = tb.commit_delta_auto(pre, 0, prepartitioned=True)
 
     assert _live_rows(spark, ta) == _live_rows(spark, tb)
@@ -704,3 +703,12 @@ def test_prepartitioned_commit_matches_default_path(spark, tmpdir_path):
     # guard: the caller's contract is BUCKET_COL present
     with pytest.raises(ValueError, match="bucket"):
         tb.commit_delta_auto(plain, 1, prepartitioned=True)
+
+    # guard: bucket ids from a STALE layout (n_buckets changed by rebucket
+    # between stamp and commit) must fail the commit, not corrupt the table
+    stale = plain.withColumn(BUCKET_COL, bucket_expr(KEYS, 64)).repartition(
+        4, F.col(BUCKET_COL))
+    with pytest.raises(ValueError, match="out-of-range"):
+        tb.commit_delta_auto(stale, 1, prepartitioned=True)
+    assert tb.version == 0  # nothing published, staging cleaned
+    assert _live_rows(spark, tb) == _live_rows(spark, ta)
