@@ -590,6 +590,48 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+# tf·idf with idf = n_docs/df (raw ratio, ln-free): score is one exact
+# bigint→double convert, one IEEE multiply, one IEEE divide — the same
+# three correctly-rounded ops Spark runs, so the doubles are bit-equal
+ORACLES["tf_idf_terms"] = f"""
+WITH tok AS (
+  SELECT lang, doc_id, unnest({TOKS}) AS term FROM documents),
+stats AS (
+  SELECT lang, term, COUNT(*)::BIGINT AS tf,
+         COUNT(DISTINCT doc_id)::BIGINT AS df
+  FROM tok GROUP BY lang, term),
+nd AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+scored AS (
+  SELECT s.lang, s.term, s.tf, s.df,
+         (s.tf::DOUBLE * n.n_docs) / s.df AS tf_idf
+  FROM stats s JOIN nd n USING (lang)),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY tf_idf DESC, term ASC) AS rnk
+      FROM scored)
+SELECT lang, term, tf, df, tf_idf, rnk FROM r WHERE rnk <= 10
+"""
+
+ORACLES["keyword_search"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+posting AS (
+  SELECT DISTINCT doc_id, term FROM tok
+  WHERE term IN ('spark', 'merge', 'window'))
+SELECT doc_id, COUNT(*)::BIGINT AS n_hit
+FROM posting GROUP BY doc_id HAVING COUNT(*) = 3
+"""
+
+ORACLES["pii_pseudonymize"] = """
+SELECT c_custkey,
+       sha256(c_name) AS name_token,
+       substr(c_name, 1, 1) || '***'
+         || regexp_replace(substr(c_name, length(c_name) - 2, 3),
+                           '[0-9]', '#', 'g') AS name_masked,
+       (floor(c_acctbal / 1000) * 1000)::BIGINT AS acctbal_band,
+       c_nationkey
+FROM customer
+"""
+
 ORACLES["doc_fingerprint_dedup"] = f"""
 SELECT md5(array_to_string({TOKS}, ' ')) AS fp,
        MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

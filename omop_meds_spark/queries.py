@@ -871,6 +871,80 @@ def token_count_by_source(spark, sf_dir):
     )
 
 
+def tf_idf_terms(spark, sf_dir):
+    """Per-language salient vocabulary: top-10 tokens by tf·idf where
+    idf = n_docs/df (the raw rarity ratio — ln-free so the score is a
+    single IEEE multiply+divide, bit-identical across engines). Plan:
+    one explode → ONE (lang, term) aggregate computing tf and df together
+    (two-phase with map-side combine — the term dictionary, not the
+    corpus, crosses the wire), broadcast-joined to the per-language doc
+    counts, then a per-language top-k window over the aggregated term
+    dictionary (tiny relative to the corpus). At 100 TB the only big
+    shuffle is the (lang, term) agg, which is exactly the cost of
+    building a vocabulary — no global sort, no self-join."""
+    docs = t_wide(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(TX.ALNUM_TOKEN_RX), F.lit(1))
+    tok = docs.select("lang", "doc_id", F.explode(toks).alias("term"))
+    stats = tok.groupBy("lang", "term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"))
+    nd = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    scored = stats.join(F.broadcast(nd), "lang").withColumn(
+        "tf_idf",
+        (F.col("tf").cast("double") * F.col("n_docs")) / F.col("df"))
+    w = W.partitionBy("lang").orderBy(F.desc("tf_idf"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 10)
+            .select("lang", "term", "tf", "df", "tf_idf", "rnk"))
+
+
+def keyword_search(spark, sf_dir):
+    """Inverted-index keyword search with AND semantics: documents
+    containing ALL query terms, answered the way a posting-list engine
+    does it — explode distinct terms, keep only postings for the query
+    terms (pushed IN-filter: the exploded stream is pruned before the
+    shuffle), then a doc-keyed count == n_terms gate. The shuffle carries
+    only matching postings (|terms| rows per doc max), never the corpus;
+    at 100 TB with a materialized posting table this same plan is three
+    partition-pruned scans + one groupBy."""
+    docs = t_wide(spark, sf_dir, "documents")
+    terms = ["spark", "merge", "window"]
+    toks = F.array_distinct(F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(TX.ALNUM_TOKEN_RX), F.lit(1)))
+    posting = (docs.select("doc_id", F.explode(toks).alias("term"))
+               .filter(F.col("term").isin(terms)))
+    return (posting.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("n_hit"))
+            .filter(F.col("n_hit") == len(terms)))
+
+
+def pii_pseudonymize(spark, sf_dir):
+    """Training-data governance: deterministic de-identification of direct
+    identifiers before a corpus leaves its enclave — name → sha256 token
+    (joinable across tables, irreversible), display name masked to its
+    first character + digits scrubbed, account balance generalized to a
+    $1000 band (k-anonymity-style quasi-identifier coarsening). Pure
+    projection (zero shuffles, zero UDFs — sha2/regexp_replace/floor are
+    codegen'd JVM Columns); at 100 TB this runs at scan speed inside
+    whatever plan consumes it."""
+    cust = t(spark, sf_dir, "customer")
+    masked = F.concat(
+        F.substring(F.col("c_name"), 1, 1),
+        F.lit("***"),
+        F.regexp_replace(F.expr("substring(c_name, length(c_name)-2, 3)"),
+                         "[0-9]", "#"),
+    )
+    band = (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long")
+    return cust.select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).alias("name_token"),
+        masked.alias("name_masked"),
+        band.alias("acctbal_band"),
+        "c_nationkey",
+    )
+
+
 def ngram_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs flagged by n-gram overlap
     with a deterministic held-out eval slice (doc_id % 97 == 0). Eval
@@ -1174,6 +1248,9 @@ ALL_QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count_by_source": token_count_by_source,
+    "tf_idf_terms": tf_idf_terms,
+    "keyword_search": keyword_search,
+    "pii_pseudonymize": pii_pseudonymize,
     "doc_fingerprint_dedup": doc_fingerprint_dedup,
     "ngram_decontaminate": ngram_decontaminate,
     "gopher_repetition": gopher_repetition,
