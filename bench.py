@@ -151,8 +151,13 @@ def cdc_worker(wal: str, table: str, cores: int) -> dict:
 # interference hits WIDE runs disproportionately (1-core runs are the most
 # phase-stable measurements on the box, 8-core runs swing 5x+). (1, 4)
 # keeps both members inside the box's linear-scaling range with the least
-# phase exposure; full data in BASELINE.md §BENCH.
-SCALE_PAIR = (1, 4)
+# phase exposure; full data in BASELINE.md §BENCH. SPARK_GRAFT_SCALE_PAIR
+# ("2,8") overrides for supplementary captures at a second N — the north
+# rule's criterion is N→4N at ANY N, so evidencing it at two different N
+# values strengthens the claim.
+_PAIR_ENV = os.environ.get("SPARK_GRAFT_SCALE_PAIR")
+SCALE_PAIR = (tuple(int(x) for x in _PAIR_ENV.split(","))
+              if _PAIR_ENV else (1, 4))
 
 
 def cdc_trial_worker(wal: str, table_root: str, cores: int) -> None:

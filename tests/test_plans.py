@@ -299,3 +299,36 @@ def test_scd2_query_single_exchange(spark):
     for q in ("scd2_history", "scd2_change_only"):
         plan = _plan(spark, q)
         assert _exchanges(plan) == 1, f"{q}:\n{plan}"
+
+
+def test_tf_idf_broadcasts_doc_counts(spark):
+    """The per-language doc-count side must broadcast (it is |langs| rows);
+    the only hash exchanges are the (lang, term) aggregate family and the
+    final top-k window over the term dictionary — never a corpus join."""
+    plan = _plan(spark, "tf_idf_terms")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_keyword_search_filters_before_shuffle(spark):
+    """The query-term IN-filter must apply on the exploded stream BEFORE
+    the doc-keyed aggregate exchange — the shuffle carries only matching
+    postings. One exchange total, no join."""
+    plan = _plan(spark, "keyword_search")
+    assert _exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+    # the IN-list literal sits between the Exchange and the Generate in the
+    # printed tree (parents print first): Exchange … Filter(IN) … Generate
+    m = re.search(r"IN \(\s*spark\s*,\s*merge\s*,\s*window\s*\)", plan)
+    assert m, plan
+    assert plan.index("Exchange") < m.start() < plan.index("Generate"), plan
+
+
+def test_pii_pseudonymize_zero_exchanges(spark):
+    """De-identification is a pure projection: zero exchanges, and the
+    scan reads only the four consumed columns."""
+    plan = _plan(spark, "pii_pseudonymize")
+    assert _exchanges(plan) == 0, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = set(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == {"c_custkey", "c_name", "c_acctbal", "c_nationkey"}, cols
