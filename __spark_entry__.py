@@ -5,7 +5,7 @@
 training-data-pipeline ops); implementations in
 ``omop_meds_spark/queries.py``.
 ``oracle_sql()`` — exact DuckDB twins in ``omop_meds_spark/oracles.py``:
-EVERY query has one (56/56; zero rows-only entries — the LSH-ANN bucket
+EVERY query has one (73/73; zero rows-only entries — the LSH-ANN bucket
 math, byte-window frame hashing, and quantized-cosine scoring are all
 expressed exactly in SQL).
 """
