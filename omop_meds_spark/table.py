@@ -42,11 +42,15 @@ Per-batch lineage/metrics live in the manifest that committed the batch
 log newest-first, ``lineage_log()`` / ``metrics_log()`` merge the whole
 retained history — O(log), maintenance/debug accessors by design.
 
-Commit protocol (single-writer): write the manifest to ``_log/.tmp.*`` then
-``os.rename`` to its final versioned name — atomic on POSIX. Readers list
-``_log`` and take the max version; a crashed writer leaves only a tmp file,
-which is invisible. Re-applying an already-committed ``batch_id`` is a no-op
-(checked before any data write).
+Commit protocol: write the manifest to ``_log/.tmp.*`` then hard-link it
+to its final versioned name — an atomic no-clobber create, so the version
+slot is a compare-and-swap. Readers list ``_log`` and take the max version;
+a crashed writer leaves only a tmp file, which is invisible. Re-applying an
+already-committed ``batch_id`` is a no-op (checked before any data write).
+Single-writer by default (lease); with ``concurrent_writers=True`` append
+commits race the CAS optimistically and rebase on loss (Iceberg's commit
+model), while replacing commits validate interleavings and raise
+``ConcurrentWriteConflict`` when their plan went stale.
 
 This replaces the reference's staging-dir + ``Path.replace`` publish
 (reference: src/OMOP_MEDS/pre_meds.py:334-383) and its ``.done``/resume
@@ -89,6 +93,20 @@ BUCKET_COL = "__bucket"
 MAINT_BATCH_BASE = 1 << 40
 
 _LOG_RE = re.compile(r"^v(\d{8})-(ckpt|delta)\.json$")
+
+
+class SnapshotVersionClash(RuntimeError):
+    """Internal: another writer published this version first (the atomic
+    no-clobber manifest create failed). ``_publish`` catches it and rebases;
+    it escapes only when rebase is impossible or retries are exhausted."""
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """A concurrent commit touched state this commit's plan depends on —
+    a replaced bucket gained files, or the bucket layout changed — so a
+    blind rebase would drop rows. The caller must re-plan from the new
+    head (Iceberg's validation-failure semantics): re-run ``compact``/
+    ``rebucket``/``restore``, which read fresh state by construction."""
 
 
 def _pid_alive(pid: int) -> bool:
@@ -355,13 +373,29 @@ def _apply_delta(state: dict, d: dict) -> dict:
 
 
 class SnapshotTable:
-    """Single-writer transactional parquet table with a delta-encoded JSON
-    snapshot log (checkpoint every ``checkpoint_every`` versions)."""
+    """Transactional parquet table with a delta-encoded JSON snapshot log
+    (checkpoint every ``checkpoint_every`` versions). Single-writer by
+    default (lease-enforced); ``concurrent_writers=True`` enables
+    optimistic concurrency for append commits — see ``__init__``."""
 
     def __init__(self, root: str | Path, key_cols: list[str],
                  n_buckets: int | None = None, checkpoint_every: int = 16,
                  stats_cols: list[str] | None = None,
-                 bloom_cols: list[str] | None = None):
+                 bloom_cols: list[str] | None = None,
+                 concurrent_writers: bool = False):
+        # Opt-in OPTIMISTIC CONCURRENCY (Iceberg's model): pure-append
+        # delta commits skip the writer lease and race on the manifest
+        # version slot (an atomic no-clobber create); a loser rebases onto
+        # the new head and retries — appends always compose (the LWW
+        # reduce is order-free and _apply_delta max-merges offsets/
+        # watermark). Replacing commits (compact/rebucket/restore/COW)
+        # still take the exclusive lease, and their publish validates that
+        # no interleaved commit touched a replaced bucket — otherwise
+        # ConcurrentWriteConflict, re-plan from the new head. Caveats:
+        # vacuum cannot see lease-less appenders' staged-but-unpublished
+        # files — run it quiesced, or pass min_age_s > max expected
+        # stage-to-publish time.
+        self.concurrent_writers = bool(concurrent_writers)
         self.root = Path(root)
         self.key_cols = list(key_cols)
         self.checkpoint_every = max(1, checkpoint_every)
@@ -1092,12 +1126,24 @@ class SnapshotTable:
         # count, which drives compaction); the repartition shuffles only
         # the per-key winners (O(keys-in-batch), usually cached upstream)
         delta = delta.repartition(max(len(touched_buckets), 1), F.col(BUCKET_COL))
-        new_files = self._write_bucketed(delta, f"b{batch_id:06d}", touched_buckets)
-        self._publish(batch_id=batch_id, files_add=new_files,
-                      watermark_seq=watermark_seq, lineage=lineage,
-                      metrics=metrics, schema_json=schema_json, offsets=offsets,
-                      file_stats=self._collect_file_stats(new_files))
-        return True
+        new_files = self._write_bucketed(delta, self._stage_tag(batch_id),
+                                         touched_buckets)
+        return self._publish(
+            batch_id=batch_id, files_add=new_files,
+            watermark_seq=watermark_seq, lineage=lineage,
+            metrics=metrics, schema_json=schema_json, offsets=offsets,
+            file_stats=self._collect_file_stats(new_files))
+
+    def _stage_tag(self, batch_id: int) -> str:
+        """Staging directory name for a batch's data files. In concurrent
+        mode the writer token is appended: two writers racing the SAME
+        redelivered batch must never share a staging dir (the loser's
+        overwrite could delete files the winner's manifest references);
+        the loser's orphaned files are fsck-reclaimable."""
+        tag = f"b{batch_id:06d}"
+        if self.concurrent_writers:
+            tag += f"-{self._writer_token[:8]}"
+        return tag
 
     def delta_partitions(self, spark: SparkSession) -> int:
         """Partition count for a delta write: enough for parallelism, no
@@ -1154,11 +1200,11 @@ class SnapshotTable:
         if self.is_committed(batch_id):
             return None
         payload = self._write_delta_with_stats(
-            delta, f"b{batch_id:06d}", seq_col, schema_json,
+            delta, self._stage_tag(batch_id), seq_col, schema_json,
             prepartitioned=prepartitioned)
         prev_wm = self.watermark()
         seq_min, seq_max = payload["seq_min"], payload["seq_max"]
-        self._publish(
+        published = self._publish(
             batch_id=batch_id, files_add=payload["new_files"],
             watermark_seq=seq_max if seq_max is not None else prev_wm,
             lineage={**(lineage or {}), "seq_min": seq_min, "seq_max": seq_max,
@@ -1166,6 +1212,8 @@ class SnapshotTable:
             metrics=metrics, schema_json=payload["schema_json"],
             offsets=payload["offsets"], file_stats=payload["file_stats"],
         )
+        if not published:  # a concurrent writer committed this batch first
+            return None
         return {"n_keys": payload["n_keys"], "seq_min": seq_min, "seq_max": seq_max}
 
     def _write_delta_with_stats(self, delta: DataFrame, dirname: str,
@@ -1541,6 +1589,7 @@ class SnapshotTable:
                 persisted.unpersist()
         self._publish(batch_id=prev["batch_id"],
                       files_replace={str(b): new_files.get(str(b), []) for b in target},
+                      base_version=prev["version"],
                       watermark_seq=prev.get("watermark_seq", -1),
                       lineage={"compaction": True, "buckets": target,
                                **({"cluster_by": cluster_by,
@@ -1614,6 +1663,7 @@ class SnapshotTable:
                            if wm >= 0 else {})
             self._publish(batch_id=prev["batch_id"],
                           files_replace=files_replace,
+                          base_version=prev["version"],
                           watermark_seq=wm,
                           lineage={"rebucket": {"from": old_n, "to": new_n}},
                           file_stats=self._collect_file_stats(new_files),
@@ -1909,7 +1959,7 @@ class SnapshotTable:
             state["version"], "ckpt", allow_existing_delta=True)
         return state["version"]
 
-    def vacuum(self, keep_versions: int = 2) -> dict:
+    def vacuum(self, keep_versions: int = 2, min_age_s: float = 0.0) -> dict:
         """Retention-bounded cleanup: keep the latest ``keep_versions``
         snapshots; delete every data file referenced ONLY by older
         snapshots, then drop those older manifests. Time travel inside the
@@ -1924,7 +1974,12 @@ class SnapshotTable:
         SINGLE-WRITER ONLY: vacuum unlinks every data file not referenced
         by a kept manifest, which would include a CONCURRENT writer's
         staged-but-unpublished files. The writer lease (``_acquire_writer``)
-        enforces this against any other LIVE process before the sweep."""
+        enforces this against any other LIVE lease-holding process before
+        the sweep — but ``concurrent_writers`` appenders are lease-less, so
+        with that mode in use either quiesce appenders first or pass
+        ``min_age_s`` larger than the longest stage-to-publish window:
+        files younger than it are spared (Iceberg's
+        remove-orphan-files retention-interval rule)."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         self._acquire_writer()
@@ -1980,9 +2035,12 @@ class SnapshotTable:
             for fs in state["files"].values():
                 referenced.update(fs)
         deleted = 0
+        age_floor = time.time() - min_age_s
         for f in (self.root / "data").rglob("*.parquet"):
             rel = str(f.relative_to(self.root))
             if rel not in referenced:
+                if min_age_s > 0 and f.stat().st_mtime > age_floor:
+                    continue  # possibly a lease-less appender's in-flight stage
                 f.unlink()
                 deleted += 1
         # unlink dropped manifests from a RAW directory listing: a version
@@ -2120,58 +2178,138 @@ class SnapshotTable:
                  offsets: dict[int, int] | None = None,
                  file_stats: dict[str, dict] | None = None,
                  add_committed: bool = True,
-                 offsets_reset: bool = False) -> None:
+                 offsets_reset: bool = False,
+                 base_version: int | None = None) -> bool:
         """Publish one commit: write an O(batch) delta manifest — or, every
         ``checkpoint_every``-th version, the full checkpoint — and advance
-        the in-process state cache."""
-        self._acquire_writer()
-        prev = self._load_state() or _empty_state()
-        version = prev["version"] + 1
-        lin_key = str(batch_id) if add_committed else f"compact_v{version}"
-        delta = {
-            "version": version,
-            "kind": "delta",
-            "n_buckets": self.n_buckets,
-            "batch_id": batch_id,
-            "files_add": {b: fs for b, fs in (files_add or {}).items() if fs},
-            "files_replace": files_replace or {},
-            "file_stats": file_stats or {},
-            "schema": schema_json,
-            "commit": batch_id if add_committed else None,
-            "watermark_seq": int(watermark_seq),
-            "offsets": {str(b): int(s) for b, s in sorted((offsets or {}).items())},
-            "lineage": {lin_key: lineage} if lineage is not None else {},
-            "metrics": {str(batch_id): metrics} if metrics else {},
-            "committed_at": time.time(),
-        }
-        if offsets_reset:
-            delta["offsets_reset"] = True
-        state = _apply_delta(prev, delta)
-        if len(state["committed_extra"]) > 4096:
-            # the exception set is bounded by commit OUT-OF-ORDERNESS; a
-            # permanent hole (a batch id skipped forever) pins the
-            # high-watermark and regrows O(commits) manifests — surface it
-            # instead of silently re-deriving the problem the delta log
-            # was built to eliminate
-            warnings.warn(
-                f"snapshot log {self.root}: committed_extra has "
-                f"{len(state['committed_extra'])} entries — batch id "
-                f"{state['committed_hwm'] + 1} appears permanently "
-                f"uncommitted, pinning the watermark; commit or renumber "
-                f"past the hole", stacklevel=3)
-        if version % self.checkpoint_every == 0:
-            # checkpoint carries the full state PLUS this commit's own
-            # lineage/metrics and file delta (so history scans and the
-            # change feed see every batch exactly once)
-            manifest = {**state, "kind": "ckpt",
-                        "lineage": delta["lineage"], "metrics": delta["metrics"],
-                        "files_add": delta["files_add"],
-                        "files_replace": delta["files_replace"],
-                        "commit": delta["commit"]}
-            self._write_manifest(manifest, version, "ckpt")
-        else:
-            self._write_manifest(delta, version, "delta")
-        self._cache = (version, state)
+        the in-process state cache.
+
+        The version slot is claimed by an atomic no-clobber create
+        (compare-and-swap). Losing the race triggers a REBASE: reload the
+        head, validate the interleaved commits against this commit's plan
+        (``_rebase_check`` — pure appends always pass; a replaced bucket
+        or layout change that moved underneath raises
+        ``ConcurrentWriteConflict``), and retry at the next version.
+        ``base_version`` is the snapshot the caller PLANNED against
+        (compact/COW pass it; appends default to the head at entry).
+
+        Returns True when published; False when a rebase discovered that a
+        concurrent writer already committed this ``batch_id`` (duplicate
+        delivery raced across writers — a no-op, same contract as the
+        ``is_committed`` pre-check)."""
+        pure_append = not files_replace and not offsets_reset
+        if not (self.concurrent_writers and pure_append):
+            # exclusive paths (and all single-writer-mode commits) keep the
+            # lease: vacuum's sweep and replacing commits need it
+            self._acquire_writer()
+        if base_version is None:
+            base_version = (self._load_state() or _empty_state())["version"]
+        for _ in range(64):
+            prev = self._load_state() or _empty_state()
+            if prev["version"] > base_version:
+                outcome = self._rebase_check(
+                    base_version, prev["version"],
+                    files_replace=files_replace, batch_id=batch_id,
+                    add_committed=add_committed, offsets_reset=offsets_reset)
+                if outcome == "duplicate":
+                    return False
+                base_version = prev["version"]  # validated up to here
+            version = prev["version"] + 1
+            lin_key = str(batch_id) if add_committed else f"compact_v{version}"
+            delta = {
+                "version": version,
+                "kind": "delta",
+                "n_buckets": self.n_buckets,
+                "batch_id": batch_id,
+                "files_add": {b: fs for b, fs in (files_add or {}).items() if fs},
+                "files_replace": files_replace or {},
+                "file_stats": file_stats or {},
+                "schema": schema_json,
+                "commit": batch_id if add_committed else None,
+                "watermark_seq": int(watermark_seq),
+                "offsets": {str(b): int(s) for b, s in sorted((offsets or {}).items())},
+                "lineage": {lin_key: lineage} if lineage is not None else {},
+                "metrics": {str(batch_id): metrics} if metrics else {},
+                "committed_at": time.time(),
+            }
+            if offsets_reset:
+                delta["offsets_reset"] = True
+            state = _apply_delta(prev, delta)
+            if len(state["committed_extra"]) > 4096:
+                # the exception set is bounded by commit OUT-OF-ORDERNESS; a
+                # permanent hole (a batch id skipped forever) pins the
+                # high-watermark and regrows O(commits) manifests — surface it
+                # instead of silently re-deriving the problem the delta log
+                # was built to eliminate
+                warnings.warn(
+                    f"snapshot log {self.root}: committed_extra has "
+                    f"{len(state['committed_extra'])} entries — batch id "
+                    f"{state['committed_hwm'] + 1} appears permanently "
+                    f"uncommitted, pinning the watermark; commit or renumber "
+                    f"past the hole", stacklevel=3)
+            try:
+                if version % self.checkpoint_every == 0:
+                    # checkpoint carries the full state PLUS this commit's own
+                    # lineage/metrics and file delta (so history scans and the
+                    # change feed see every batch exactly once)
+                    manifest = {**state, "kind": "ckpt",
+                                "lineage": delta["lineage"], "metrics": delta["metrics"],
+                                "files_add": delta["files_add"],
+                                "files_replace": delta["files_replace"],
+                                "commit": delta["commit"]}
+                    self._write_manifest(manifest, version, "ckpt")
+                else:
+                    self._write_manifest(delta, version, "delta")
+            except SnapshotVersionClash:
+                self._cache = None  # force a fresh head read, then rebase
+                continue
+            self._cache = (version, state)
+            return True
+        raise RuntimeError(
+            f"snapshot log {self.root}: publish lost the version race 64 "
+            f"times — pathological contention, raise the writer count limit "
+            f"or batch the commits")
+
+    def _rebase_check(self, since: int, upto: int, *, files_replace,
+                      batch_id: int, add_committed: bool,
+                      offsets_reset: bool) -> str:
+        """Validate the interleaved commits (since, upto] against this
+        commit's plan. Returns "duplicate" if one of them already committed
+        this ``batch_id`` (publish becomes a no-op); raises
+        ``ConcurrentWriteConflict`` when a rebase would be unsound:
+
+        * the bucket layout changed (rebucket interleaved, or THIS commit
+          is a rebucket) — every in-flight bucket stamp is stale;
+        * this commit REPLACES a bucket an interleaved commit touched —
+          the replacement was computed from pre-race state, so publishing
+          it would silently drop the interleaved rows.
+
+        Pure appends against pure appends always pass: the per-bucket LWW
+        reduce is order-free and ``_apply_delta`` max-merges offsets and
+        watermark, so append commits compose in any order."""
+        replaced = set((files_replace or {}).keys())
+        for v, _, p in self._log_entries():
+            if not (since < v <= upto):
+                continue
+            d = json.loads(p.read_text())
+            if offsets_reset or d.get("offsets_reset"):
+                raise ConcurrentWriteConflict(
+                    f"snapshot log {self.root}: commit raced a bucket-layout "
+                    f"change at v{v} — re-plan from the new head")
+            if int(d.get("n_buckets", self.n_buckets)) != self.n_buckets:
+                raise ConcurrentWriteConflict(
+                    f"snapshot log {self.root}: interleaved v{v} uses a "
+                    f"different bucket layout — re-open the table and re-plan")
+            if add_committed and d.get("commit") == batch_id:
+                return "duplicate"
+            touched = set(d.get("files_add", {})) | set(d.get("files_replace", {}))
+            overlap = replaced & touched
+            if overlap:
+                raise ConcurrentWriteConflict(
+                    f"snapshot log {self.root}: interleaved v{v} touched "
+                    f"replaced bucket(s) {sorted(overlap)} — re-plan the "
+                    f"replace from the new head")
+        return "ok"
 
     def max_files_per_bucket(self) -> int:
         m = self._load_state()
@@ -2199,21 +2337,25 @@ class SnapshotTable:
         """
         if self.is_committed(batch_id):
             return False
+        # the merged content was computed from the CURRENT head — record it
+        # so a raced publish validates interleavings from here, not from
+        # whatever head exists after the (long) Spark write
+        base_version = (self._load_state() or _empty_state())["version"]
         # Write one hive partition per touched bucket. repartition by the
         # bucket column so each bucket is written by tasks that own it; AQE
         # coalesces small ones.
         new_files = self._write_bucketed(
             merged.repartition(max(len(touched_buckets), 1), F.col(BUCKET_COL)),
-            f"b{batch_id:06d}", touched_buckets,
+            self._stage_tag(batch_id), touched_buckets,
         )
-        self._publish(
+        return self._publish(
             batch_id=batch_id,
             files_replace={str(b): new_files.get(str(b), []) for b in touched_buckets},
             watermark_seq=watermark_seq, lineage=lineage, metrics=metrics,
             schema_json=schema_json, offsets=offsets,
             file_stats=self._collect_file_stats(new_files),
+            base_version=base_version,
         )
-        return True
 
     def _write_manifest(self, manifest: dict, version: int, kind: str,
                         allow_existing_delta: bool = False) -> None:
@@ -2227,11 +2369,24 @@ class SnapshotTable:
         # lost race / duplicate version — abort, keep log consistent
         # (checkpoint promotion of an existing delta version is the one
         # sanctioned overwrite-by-new-name: _log_entries prefers the ckpt)
-        clash = final.exists() or (
-            not allow_existing_delta
-            and (log_dir / f"v{version:08d}-{'delta' if kind == 'ckpt' else 'ckpt'}.json").exists()
-        )
-        if clash:
+        if not allow_existing_delta and (
+            log_dir / f"v{version:08d}-{'delta' if kind == 'ckpt' else 'ckpt'}.json"
+        ).exists():
             os.unlink(tmp)
-            raise RuntimeError(f"snapshot v{version} already exists (concurrent writer?)")
-        os.rename(tmp, final)
+            raise SnapshotVersionClash(
+                f"snapshot v{version} already exists (concurrent writer?)")
+        # ATOMIC no-clobber create: hard-link then unlink the tmp. A plain
+        # rename would silently OVERWRITE a concurrent writer's manifest
+        # that landed between an exists() check and the rename (rename(2)
+        # replaces existing targets) — link(2) fails with EEXIST instead,
+        # making the version slot a true compare-and-swap. This is what
+        # lets optimistic concurrent writers race safely; at cluster scale
+        # against an object store this CAS moves to the catalog, same as
+        # Iceberg's commit lock.
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise SnapshotVersionClash(
+                f"snapshot v{version} already exists (concurrent writer?)") from None
+        os.unlink(tmp)

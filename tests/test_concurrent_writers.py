@@ -1,0 +1,170 @@
+"""Optimistic concurrency (opt-in ``concurrent_writers=True``): the
+manifest version slot is an atomic no-clobber create (CAS), losers REBASE
+pure-append commits onto the new head, duplicate-batch races collapse to
+no-ops, and replacing commits (compact) refuse to publish over interleaved
+changes they did not see (``ConcurrentWriteConflict``) — the Iceberg
+optimistic-commit model, validated deterministically via race injection
+plus one real multi-threaded race.
+"""
+
+from __future__ import annotations
+
+import threading
+from pathlib import Path
+
+import pytest
+
+from omop_meds_spark.table import (
+    BUCKET_COL,
+    ConcurrentWriteConflict,
+    SnapshotTable,
+    bucket_expr,
+)
+
+KEYS = ["repo", "path"]
+
+
+def _df(spark, rows):
+    df = spark.createDataFrame(
+        rows, "repo string, path string, seq_no long, op string")
+    return df.withColumn(BUCKET_COL, bucket_expr(KEYS, 4))
+
+
+def _tab(root) -> SnapshotTable:
+    return SnapshotTable(root, KEYS, n_buckets=4, concurrent_writers=True)
+
+
+def _inject_race(victim: SnapshotTable, rival_commit) -> None:
+    """Deterministic race: the FIRST time ``victim`` tries to claim a
+    version slot, ``rival_commit()`` runs first and takes it — so the
+    victim's CAS loses exactly once and must rebase."""
+    real = victim._write_manifest
+    fired = {"done": False}
+
+    def wrapper(manifest, version, kind, allow_existing_delta=False):
+        if not fired["done"]:
+            fired["done"] = True
+            rival_commit()
+        return real(manifest, version, kind, allow_existing_delta)
+
+    victim._write_manifest = wrapper
+
+
+def test_lost_append_race_rebases_and_both_commits_land(spark, tmpdir_path):
+    t1, t2 = _tab(tmpdir_path), _tab(tmpdir_path)
+    assert t1.commit_delta(_df(spark, [("r0", "p0", 1, "U")]), 0, [0, 1, 2, 3], 1)
+    _inject_race(t2, lambda: t1.commit_delta(
+        _df(spark, [("r1", "p1", 2, "U")]), 1, [0, 1, 2, 3], 2))
+    # t2 loses v1 to the rival, rebases, lands at v2 — no error, no loss
+    assert t2.commit_delta(_df(spark, [("r2", "p2", 3, "U")]), 2, [0, 1, 2, 3], 3)
+    t = _tab(tmpdir_path)
+    assert t.version == 2
+    rows = {(r["repo"], r["seq_no"]) for r in t.read_live(spark).collect()}
+    assert rows == {("r0", 1), ("r1", 2), ("r2", 3)}
+    assert t.committed_batches() == {0, 1, 2}
+    assert t.watermark() == 3  # max-merged across the raced commits
+
+
+def test_duplicate_batch_race_is_noop(spark, tmpdir_path):
+    """Two writers deliver the SAME batch (redelivery raced across
+    processes): exactly one copy lands; the loser's publish reports the
+    no-op instead of double-committing."""
+    t1, t2 = _tab(tmpdir_path), _tab(tmpdir_path)
+    _inject_race(t2, lambda: t1.commit_delta(
+        _df(spark, [("r1", "p1", 1, "U")]), 0, [0, 1, 2, 3], 1))
+    assert t2.commit_delta(
+        _df(spark, [("r1", "p1", 1, "U")]), 0, [0, 1, 2, 3], 1) is False
+    t = _tab(tmpdir_path)
+    assert t.version == 0
+    assert t.read_live(spark).count() == 1
+    assert t.committed_batches() == {0}
+
+
+def test_replace_raced_by_append_on_same_bucket_conflicts(spark, tmpdir_path):
+    """Compaction's file list was planned BEFORE the race — publishing it
+    over an interleaved append to the same bucket would silently drop that
+    append's rows, so the publish must refuse; a re-planned compact (fresh
+    head by construction) then succeeds and keeps every row."""
+    t1, t2 = _tab(tmpdir_path), _tab(tmpdir_path)
+    d = _df(spark, [("r1", "p1", 1, "U")])
+    bucket = int(d.select(BUCKET_COL).first()[0])
+    t1.commit_delta(d, 0, [bucket], 1)
+    t1.commit_delta(_df(spark, [("r1", "p1", 2, "U")]), 1, [bucket], 2)
+    _inject_race(t2, lambda: t1.commit_delta(
+        _df(spark, [("r1", "p1", 3, "U")]), 2, [bucket], 3))
+    with pytest.raises(ConcurrentWriteConflict):
+        t2.compact(spark, buckets=[bucket])
+    t3 = _tab(tmpdir_path)
+    assert t3.compact(spark, buckets=[bucket])
+    rows = [(r["repo"], r["seq_no"]) for r in t3.read_live(spark).collect()]
+    assert rows == [("r1", 3)]  # the raced append's winner survived
+
+
+def test_replace_raced_by_append_on_other_bucket_rebases(spark, tmpdir_path):
+    """Disjoint-bucket interleavings are safe for a replacing commit — the
+    rebase validates and publishes instead of failing."""
+    t1, t2 = _tab(tmpdir_path), _tab(tmpdir_path)
+    # find two keys living in different buckets
+    probe = _df(spark, [(f"r{i}", f"p{i}", 1, "U") for i in range(8)])
+    by_bucket: dict[int, str] = {}
+    for r in probe.select("repo", BUCKET_COL).collect():
+        by_bucket.setdefault(int(r[BUCKET_COL]), r["repo"])
+    (b_a, key_a), (b_b, key_b) = sorted(by_bucket.items())[:2]
+    t1.commit_delta(_df(spark, [(key_a, f"p{key_a[1:]}", 1, "U")]), 0, [b_a], 1)
+    t1.commit_delta(_df(spark, [(key_a, f"p{key_a[1:]}", 2, "U")]), 1, [b_a], 2)
+    _inject_race(t2, lambda: t1.commit_delta(
+        _df(spark, [(key_b, f"p{key_b[1:]}", 3, "U")]), 2, [b_b], 3))
+    assert t2.compact(spark, buckets=[b_a])  # raced, rebased, published
+    t = _tab(tmpdir_path)
+    rows = {(r["repo"], r["seq_no"]) for r in t.read_live(spark).collect()}
+    assert rows == {(key_a, 2), (key_b, 3)}
+    assert len(t.latest()["files"][str(b_a)]) == 1  # compaction took effect
+
+
+def test_threaded_appenders_all_land(spark, tmpdir_path):
+    """A REAL race: 6 lease-less writer instances commit distinct batches
+    from concurrent threads. Every commit lands exactly once, versions are
+    contiguous, and live state is the union — no lost updates, no torn
+    log."""
+    n = 6
+    errors: list[Exception] = []
+
+    def work(i: int) -> None:
+        try:
+            t = _tab(tmpdir_path)
+            assert t.commit_delta(
+                _df(spark, [(f"r{i}", f"p{i}", i + 1, "U")]),
+                i, [0, 1, 2, 3], i + 1)
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = _tab(tmpdir_path)
+    assert t.version == n - 1  # n commits, contiguous versions 0..n-1
+    assert t.committed_batches() == set(range(n))
+    rows = {(r["repo"], r["seq_no"]) for r in t.read_live(spark).collect()}
+    assert rows == {(f"r{i}", i + 1) for i in range(n)}
+
+
+def test_vacuum_min_age_spares_young_unreferenced_files(spark, tmpdir_path):
+    """The concurrent-mode vacuum mitigation: files younger than
+    ``min_age_s`` are never swept (they may be a lease-less appender's
+    staged-but-unpublished write); with the grace disabled the same file
+    is reclaimed."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=4)
+    for i in range(4):
+        t.commit_delta(_df(spark, [(f"r{i}", "p", i + 1, "U")]),
+                       i, [0, 1, 2, 3], i + 1)
+    orphan = Path(tmpdir_path) / "data" / "inflight" / "bucket=0" / "part-x.parquet"
+    orphan.parent.mkdir(parents=True)
+    orphan.write_bytes(b"not yet published")
+    t.vacuum(keep_versions=2, min_age_s=3600)
+    assert orphan.exists()  # young → spared
+    t.vacuum(keep_versions=1)  # default: no grace
+    assert not orphan.exists()
+    assert t.read_live(spark).count() == 4  # live data untouched throughout
