@@ -215,6 +215,7 @@ class CDCRunner:
         views: list | None = None,
         dlq: bool = False,
         constraints: list[str] | None = None,
+        concurrent_writers: bool = False,
     ):
         self.spark = spark
         self.salted = salted
@@ -258,13 +259,24 @@ class CDCRunner:
         # compact when a bucket accumulates this many delta generations —
         # bounds read_live cost; compaction cost amortizes over batches
         self.compact_every = compact_every
+        # opt-in MULTI-RUNNER ingest: several runner processes/threads may
+        # apply DISJOINT batch subsets of the same WAL to the same target
+        # concurrently — sound because batches commute (LWW winners are a
+        # pure max_by over (seq_no, event_id), order-free across batches)
+        # and the table's optimistic appends compose; exactly-once still
+        # holds per batch_id (a raced duplicate collapses to a no-op in
+        # the table's rebase). Maintenance (compaction) keeps the
+        # exclusive path — a raced compact yields, never blocks ingest.
+        self.concurrent_writers = concurrent_writers
         self.reader = WalReader(wal_dir, files_per_batch)
-        self.table = SnapshotTable(table_root, KEY_COLS, n_buckets)
+        self.table = SnapshotTable(table_root, KEY_COLS, n_buckets,
+                                   concurrent_writers=concurrent_writers)
         # MEDS-shaped target (subject_id, time, code, numeric_value, …) —
         # the north star's actual sink shape; merged per-batch from the same
         # winners, own snapshot log under {root}/meds.
         self.meds_table = SnapshotTable(
-            Path(table_root) / "meds", MEDS_KEY_COLS, n_buckets
+            Path(table_root) / "meds", MEDS_KEY_COLS, n_buckets,
+            concurrent_writers=concurrent_writers,
         )
         self.registry = SchemaRegistry(
             target=CHANGE_EVENT_SCHEMA_V0, renames=dict(CANONICAL_RENAMES)
@@ -374,7 +386,19 @@ class CDCRunner:
             for t in (self.table, self.meds_table):
                 hot = t.hot_buckets(self.compact_every)
                 if hot:
-                    t.compact(self.spark, buckets=hot)
+                    try:
+                        t.compact(self.spark, buckets=hot)
+                    except Exception as e:
+                        # under concurrent ingest another runner's append
+                        # can land on a hot bucket mid-compaction; the
+                        # publish validation refuses (never drops rows) —
+                        # YIELD and let a later batch re-plan the compact.
+                        # Single-writer mode never hits this path.
+                        from .table import ConcurrentWriteConflict
+
+                        if not (self.concurrent_writers
+                                and isinstance(e, ConcurrentWriteConflict)):
+                            raise
             for v in self.views:
                 v.refresh(self.spark)
         finally:

@@ -168,3 +168,49 @@ def test_vacuum_min_age_spares_young_unreferenced_files(spark, tmpdir_path):
     t.vacuum(keep_versions=1)  # default: no grace
     assert not orphan.exists()
     assert t.read_live(spark).count() == 4  # live data untouched throughout
+
+
+def test_two_concurrent_runners_split_one_wal(spark, tmpdir_path):
+    """END-TO-END multi-writer ingest: two CDC runners apply DISJOINT batch
+    subsets of the same WAL to the same target concurrently (batches
+    commute — LWW winners are order-free across batches, appends compose
+    under the optimistic protocol). Final state must equal the pandas
+    replay oracle exactly — the same fingerprint gate as single-writer."""
+    from omop_meds_spark import verify
+    from omop_meds_spark.runner import CDCRunner
+    from omop_meds_spark.sources.gen import generate_wal, replay_oracle
+
+    wal = Path(tmpdir_path) / "wal"
+    table = Path(tmpdir_path) / "t"
+    generate_wal(wal, n_events=9000, n_repos=10, paths_per_repo=25,
+                 n_files=6, seed=11)
+    cols = ["repo", "path", "commit", "lang", "size_bytes",
+            "content_sha256", "seq_no"]
+    pdf = replay_oracle(str(wal))
+    pdf["size_bytes"] = pdf["size_bytes"].astype("Int64")
+    expect = verify.pandas_fingerprint(pdf, cols)
+
+    runners = [CDCRunner(spark, wal, table, n_buckets=8, files_per_batch=2,
+                         concurrent_writers=True) for _ in range(2)]
+    batches = runners[0].reader.plan_batches()
+    assert len(batches) >= 3
+    errors: list[Exception] = []
+
+    def work(r: CDCRunner, mine) -> None:
+        try:
+            for b in mine:
+                r.apply_batch(b)
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(runners[i], batches[i::2]))
+               for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    fresh = CDCRunner(spark, wal, table, n_buckets=8, files_per_batch=2)
+    assert verify.state_fingerprint(fresh.final_state(), cols) == expect
+    # every batch committed exactly once across both writers
+    assert fresh.table.committed_batches() == {b.batch_id for b in batches}
