@@ -43,7 +43,7 @@ WAL_FILES = 48
 # low-core member. Batch 0 absorbs JVM warmup; batches 1-3 are three
 # independent steady-state samples per replay (the host's multi-minute
 # ±2.5x phases make single-sample replays too noisy to pair).
-FILES_PER_BATCH = 12
+FILES_PER_BATCH = int(os.environ.get("BENCH_FILES_PER_BATCH", "12"))
 WAL_CACHE = REPO / ".bench_cache" / f"wal_{WAL_EVENTS}"
 
 HEADLINE = [

@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
                            help="SQL predicate every event must satisfy "
                                 "(repeatable); violators quarantine to the "
                                 "DLQ with a recorded reason")
+            r.add_argument("--concurrent", action="store_true",
+                           help="optimistic multi-writer mode: this replay "
+                                "may run alongside other --concurrent "
+                                "replays applying disjoint batches of the "
+                                "same WAL to the same table")
 
     s = sub.add_parser("status", help="print snapshot-table status (no Spark)")
     s.add_argument("--table", required=True)
@@ -80,6 +85,10 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("vacuum", help="drop data/manifests outside the retention window")
     v.add_argument("--table", required=True)
     v.add_argument("--keep-versions", type=int, default=2)
+    v.add_argument("--min-age-s", type=float, default=0.0,
+                   help="never sweep unreferenced files younger than this "
+                        "(use > max stage-to-publish time when lease-less "
+                        "--concurrent writers may be mid-commit)")
 
     fl = sub.add_parser("files", help="list the snapshot's live data files "
                                       "with footer stats (no Spark)")
@@ -199,7 +208,8 @@ def main(argv: list[str] | None = None) -> int:
         from .schemas import KEY_COLS
         from .table import SnapshotTable
 
-        print(json.dumps(SnapshotTable(args.table, KEY_COLS).vacuum(args.keep_versions)))
+        print(json.dumps(SnapshotTable(args.table, KEY_COLS).vacuum(
+            args.keep_versions, min_age_s=args.min_age_s)))
         return 0
 
     if args.cmd == "files":
@@ -400,7 +410,8 @@ def main(argv: list[str] | None = None) -> int:
         r = CDCRunner(spark, args.wal, args.table, n_buckets=args.buckets,
                       files_per_batch=args.files_per_batch, n_salts=args.salts,
                       dlq=getattr(args, "dlq", False),
-                      constraints=getattr(args, "constraint", []))
+                      constraints=getattr(args, "constraint", []),
+                      concurrent_writers=getattr(args, "concurrent", False))
         metrics = r.run()
     else:
         from .streaming.stream_runner import StreamingCDCRunner
