@@ -214,3 +214,31 @@ def test_two_concurrent_runners_split_one_wal(spark, tmpdir_path):
     assert verify.state_fingerprint(fresh.final_state(), cols) == expect
     # every batch committed exactly once across both writers
     assert fresh.table.committed_batches() == {b.batch_id for b in batches}
+
+
+def test_k_consecutive_lost_races_still_publish_exactly_once(spark, tmpdir_path):
+    """A writer that loses FIVE straight version races (a rival lands a
+    new commit every time it retries) still publishes exactly once, at the
+    final head — the rebase loop converges instead of livelocking or
+    double-writing."""
+    t1, t2 = _tab(tmpdir_path), _tab(tmpdir_path)
+    real = t2._write_manifest
+    state = {"losses": 0}
+
+    def wrapper(manifest, version, kind, allow_existing_delta=False):
+        if state["losses"] < 5:
+            i = state["losses"]
+            state["losses"] += 1
+            t1.commit_delta(_df(spark, [(f"rival{i}", "p", 10 + i, "U")]),
+                            100 + i, [0, 1, 2, 3], 10 + i)
+        return real(manifest, version, kind, allow_existing_delta)
+
+    t2._write_manifest = wrapper
+    assert t2.commit_delta(_df(spark, [("mine", "p", 1, "U")]), 0, [0, 1, 2, 3], 1)
+    assert state["losses"] == 5
+    t = _tab(tmpdir_path)
+    assert t.version == 5  # five rival commits + one rebased publish
+    rows = {r["repo"] for r in t.read_live(spark).collect()}
+    assert rows == {"mine", *{f"rival{i}" for i in range(5)}}
+    assert t.committed_batches() == {0, 100, 101, 102, 103, 104}
+    assert t.watermark() == 14
