@@ -718,7 +718,9 @@ def main() -> None:
                   "metric", "value", "unit"):
             if k in result:
                 result[k] = result.pop(k)
-    (REPO / "BENCH_LOCAL.json").write_text(json.dumps(detail or result, indent=1))
+    if detail:  # only a full (scaling) capture owns BENCH_LOCAL.json —
+        # a --no-scaling query re-time must not clobber the raw record
+        (REPO / "BENCH_LOCAL.json").write_text(json.dumps(detail, indent=1))
     line = json.dumps(result)
     if len(line) > 3500:  # belt-and-braces: never exceed a 4 KB tail capture
         slim = json.loads(line)

@@ -394,7 +394,11 @@ class SnapshotTable:
         # ConcurrentWriteConflict, re-plan from the new head. Caveats:
         # vacuum cannot see lease-less appenders' staged-but-unpublished
         # files — run it quiesced, or pass min_age_s > max expected
-        # stage-to-publish time.
+        # stage-to-publish time. A rebase can also re-record a one-commit-
+        # STALE schema_json when writers race a monotone schema evolution —
+        # benign: key column types never evolve (key_bucket hashing is
+        # unaffected), readers merge file-level parquet schemas, and the
+        # next commit from the newer-schema writer re-records it.
         self.concurrent_writers = bool(concurrent_writers)
         self.root = Path(root)
         self.key_cols = list(key_cols)

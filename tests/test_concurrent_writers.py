@@ -242,3 +242,85 @@ def test_k_consecutive_lost_races_still_publish_exactly_once(spark, tmpdir_path)
     assert rows == {"mine", *{f"rival{i}" for i in range(5)}}
     assert t.committed_batches() == {0, 100, 101, 102, 103, 104}
     assert t.watermark() == 14
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29, 47, 61, 83])
+def test_fuzz_raced_commit_sequences_model_checked(spark, tmpdir_path, seed):
+    """Randomized interleaving fuzz: three lease-less writers run a random
+    sequence of appends / duplicate redeliveries / compactions / vacuums,
+    with CAS losses injected at random points (a rival commits first).
+    After every operation the table must equal a pure-Python LWW model —
+    live rows, committed batches, and watermark. The deterministic tests
+    above pin each conflict class; this sweeps their compositions."""
+    import random
+
+    rng = random.Random(seed)
+    writers = [_tab(tmpdir_path) for _ in range(3)]
+    keys = [f"r{i}" for i in range(6)]
+    model: dict[str, tuple[int, str]] = {}  # key -> (seq, op), max-seq wins
+    committed: set[int] = set()
+    batches: dict[int, list[tuple[str, str, int, str]]] = {}
+    next_batch, next_seq = 0, 1
+
+    def commit(w: SnapshotTable, batch_id: int, rows) -> bool:
+        ok = w.commit_delta(_df(spark, rows), batch_id, [0, 1, 2, 3],
+                            max(r[2] for r in rows))
+        return ok
+
+    def fresh_rows():
+        nonlocal next_seq
+        rows = []
+        for k in rng.sample(keys, rng.randint(1, 3)):
+            rows.append((k, f"p{k[1:]}", next_seq, rng.choice("UUD")))
+            next_seq += 1
+        return rows
+
+    def apply_to_model(rows, batch_id):
+        committed.add(batch_id)
+        for k, _, s, op in rows:
+            if k not in model or s > model[k][0]:
+                model[k] = (s, op)
+
+    for _ in range(10):
+        op = rng.random()
+        w = rng.choice(writers)
+        if op < 0.55:  # plain append (sometimes with an injected CAS loss)
+            rows, bid = fresh_rows(), next_batch
+            next_batch += 1
+            batches[bid] = rows
+            if rng.random() < 0.4:
+                rival = rng.choice([x for x in writers if x is not w])
+                r_rows, r_bid = fresh_rows(), next_batch
+                next_batch += 1
+                batches[r_bid] = r_rows
+                _inject_race(w, lambda rr=r_rows, rb=r_bid, rv=rival:
+                             commit(rv, rb, rr) and apply_to_model(rr, rb))
+            assert commit(w, bid, rows)
+            apply_to_model(rows, bid)
+        elif op < 0.7 and committed:  # duplicate redelivery of an old batch
+            bid = rng.choice(sorted(committed))
+            assert commit(w, bid, batches[bid]) is False  # exactly-once
+        elif op < 0.9:  # compaction, possibly raced
+            if rng.random() < 0.5 and committed:
+                rival = rng.choice([x for x in writers if x is not w])
+                r_rows, r_bid = fresh_rows(), next_batch
+                next_batch += 1
+                batches[r_bid] = r_rows
+                _inject_race(w, lambda rr=r_rows, rb=r_bid, rv=rival:
+                             commit(rv, rb, rr) and apply_to_model(rr, rb))
+                try:
+                    w.compact(spark)
+                except ConcurrentWriteConflict:
+                    pass  # refused, nothing changed — model unaffected
+            else:
+                w.compact(spark)
+        else:
+            w.vacuum(keep_versions=2)
+        live = {r["repo"]: (r["seq_no"], ) for r in
+                _tab(tmpdir_path).read_live(spark).collect()} if committed else {}
+        want = {k: (s,) for k, (s, o) in model.items() if o != "D"}
+        assert live == want, f"seed {seed}: live {live} != model {want}"
+        t = _tab(tmpdir_path)
+        assert t.committed_batches() == committed
+        if committed:
+            assert t.watermark() == max(s for s, _ in model.values())
