@@ -324,3 +324,18 @@ def test_fuzz_raced_commit_sequences_model_checked(spark, tmpdir_path, seed):
         assert t.committed_batches() == committed
         if committed:
             assert t.watermark() == max(s for s, _ in model.values())
+
+
+def test_change_feed_stays_linear_across_raced_commits(spark, tmpdir_path):
+    """Downstream consumers tail the change feed by version — raced
+    commits must still produce a LINEAR feed that contains every commit
+    exactly once, attributed to the version that actually won its slot."""
+    t1, t2 = _tab(tmpdir_path), _tab(tmpdir_path)
+    t1.commit_delta(_df(spark, [("r0", "p0", 1, "U")]), 0, [0, 1, 2, 3], 1)
+    _inject_race(t2, lambda: t1.commit_delta(
+        _df(spark, [("r1", "p1", 2, "U")]), 1, [0, 1, 2, 3], 2))
+    t2.commit_delta(_df(spark, [("r2", "p2", 3, "D")]), 2, [0, 1, 2, 3], 3)
+    feed = _tab(tmpdir_path).read_changes(spark, since_version=-1)
+    got = {(r["repo"], r["_commit_version"], r["_commit_batch_id"], r["op"])
+           for r in feed.collect()}
+    assert got == {("r0", 0, 0, "U"), ("r1", 1, 1, "U"), ("r2", 2, 2, "D")}
