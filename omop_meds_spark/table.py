@@ -473,15 +473,21 @@ class SnapshotTable:
         self._writer_token = uuid.uuid4().hex  # per-instance writer identity
 
     def _stamp_table_meta(self) -> None:
-        """Atomically (re)write the ``_table.json`` layout mirror."""
+        """Atomically (re)write the ``_table.json`` layout mirror. The tmp
+        name must be WRITER-UNIQUE: concurrent opens of the same root (two
+        lease-less writers, or plain parallel readers racing first-open)
+        each stamp the mirror, and a shared fixed tmp name lets one
+        writer's ``replace`` consume the file out from under the other
+        (FileNotFoundError — found by the threaded-appender race test)."""
         meta_path = self.root / "_table.json"
-        tmp = meta_path.with_name(".tmp._table.json")
-        tmp.write_text(json.dumps({
-            "format": 1, "key_cols": self.key_cols,
-            "n_buckets": self.n_buckets,
-            "stats_cols": self.stats_cols,
-            "bloom_cols": getattr(self, "bloom_cols", [])}))
-        tmp.replace(meta_path)  # atomic publish, same as manifests
+        fd, tmp_name = tempfile.mkstemp(prefix=".tmp.meta.", dir=self.root)
+        with os.fdopen(fd, "w") as f:
+            json.dump({
+                "format": 1, "key_cols": self.key_cols,
+                "n_buckets": self.n_buckets,
+                "stats_cols": self.stats_cols,
+                "bloom_cols": getattr(self, "bloom_cols", [])}, f)
+        os.replace(tmp_name, meta_path)  # atomic publish, same as manifests
 
     # --------------------------------------------------------- writer lock
     @property
