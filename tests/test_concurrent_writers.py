@@ -339,3 +339,21 @@ def test_change_feed_stays_linear_across_raced_commits(spark, tmpdir_path):
     got = {(r["repo"], r["_commit_version"], r["_commit_batch_id"], r["op"])
            for r in feed.collect()}
     assert got == {("r0", 0, 0, "U"), ("r1", 1, 1, "U"), ("r2", 2, 2, "D")}
+
+
+def test_duplicate_race_losers_files_are_fsck_orphans(spark, tmpdir_path):
+    """The duplicate-batch loser staged real parquet that no manifest will
+    ever reference (its publish collapsed to a no-op). fsck must report
+    exactly those files and reclaim them without touching the winner's
+    live data — the cleanup story that completes the concurrent contract."""
+    t1, t2 = _tab(tmpdir_path), _tab(tmpdir_path)
+    _inject_race(t2, lambda: t1.commit_delta(
+        _df(spark, [("r1", "p1", 1, "U")]), 0, [0, 1, 2, 3], 1))
+    assert t2.commit_delta(
+        _df(spark, [("r1", "p1", 1, "U")]), 0, [0, 1, 2, 3], 1) is False
+    rep = t2.fsck()
+    assert rep["orphan_files"], rep  # the loser's staged parquet
+    assert all(f"-{t2._writer_token[:8]}/" in f for f in rep["orphan_files"]), rep
+    t2.fsck(remove=True)
+    assert _tab(tmpdir_path).fsck()["orphan_files"] == []
+    assert _tab(tmpdir_path).read_live(spark).count() == 1  # winner intact
