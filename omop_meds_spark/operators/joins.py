@@ -234,3 +234,49 @@ def salted_join(
     if fact_key == dim_key:
         joined = joined.drop(dim_s[dim_key])  # match plain `on=` key dedup
     return joined.drop("__salt")
+
+
+def fuzzy_token_join(
+    tokens: DataFrame,
+    catalog: DataFrame,
+    token_col: str = "token",
+    canon_col: str = "canonical",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Approximate-string (edit-distance) join: each distinct token matches
+    every catalog entry within ``max_dist`` Levenshtein edits — the
+    data-cleaning / entity-resolution primitive (typo'd codes to canonical
+    vocabulary, misspelled entity names to a reference list).
+
+    Spark-first shape for the realistic cardinality split (huge corpus
+    vocabulary x small canonical catalog):
+
+    * the CORPUS side is first reduced to its distinct-token DICTIONARY —
+      one map-side-combining aggregate; the raw corpus never meets the
+      fuzzy predicate,
+    * the CATALOG side broadcasts; the non-equi predicate makes this a
+      BroadcastNestedLoopJoin, which is the RIGHT plan here: |dict| x
+      |catalog| comparisons, never corpus-sized,
+    * the LENGTH-BAND block (||a|-|b|| <= max_dist, a necessary condition
+      of the edit distance) and ``F.levenshtein``'s own early-exit bound
+      keep the per-pair cost tiny.
+
+    For catalog sizes past broadcast range, block both sides on a shared
+    key (length band + first char) into an equi-join before the distance
+    filter — same semantics, hash-join plan; this function keeps the
+    broadcast shape because a canonical vocabulary is by construction
+    small.
+
+    Returns (token, canonical, dist), dist <= max_dist.
+    """
+    toks = tokens.select(F.col(token_col).alias("token")).distinct()
+    cat = catalog.select(F.col(canon_col).alias("canonical"))
+    dist = F.levenshtein(F.col("token"), F.col("canonical"))
+    return (
+        toks.join(
+            F.broadcast(cat),
+            (F.abs(F.length("token") - F.length("canonical")) <= max_dist)
+            & (dist <= max_dist),
+        )
+        .select("token", "canonical", dist.alias("dist"))
+    )

@@ -290,3 +290,72 @@ def scd2_history(
     if op_col is not None:
         out = out.filter(~is_delete)
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def funnel_match(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel conversion: users who performed ``steps`` in strict
+    time order (step k+1 strictly AFTER step k), with each step's
+    completion time — the behavioral-analytics sequence-match operator
+    (ClickHouse ``windowFunnel`` / Amplitude funnels analogue).
+
+    Semantics: t1 = min ts of step 1; t_{k+1} = min ts of step k+1 with
+    ts > t_k. Only fully-converted users are returned (inner-funnel), one
+    row per user with step_1_ts..step_n_ts.
+
+    Spark-first shape — ONE keyed exchange, not k self-joins: the naive
+    relational form is a k-step chain of join+min (the oracle SQL), which
+    shuffles the event table k times. Here each user's relevant events
+    collapse into one ``collect_list`` aggregate (map-side combining, only
+    rows matching a step survive the pushed filter), ``array_sort`` orders
+    them in-partition, and a single ``F.aggregate`` fold walks the
+    timeline carrying the per-step completion state. Cost: one shuffle of
+    the filtered events, O(events-per-user) fold work — at 100 TB the
+    k-join chain is k full shuffles, this is one.
+
+    Determinism: the fold processes events in (ts, tiebreak) order and
+    only ever takes the FIRST qualifying event per step, which equals the
+    relational min() because the walk is ascending; equal-ts events
+    cannot satisfy the strict > gate in either engine.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    ev = events.filter(F.col(type_col).isin(*steps))
+    evs = F.array_sort(
+        F.collect_list(F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(tiebreak_col).alias("tb"),
+            F.col(type_col).alias("et"),
+        ))
+    )
+    ts_type = events.schema[ts_col].dataType.simpleString()
+    zero = F.struct(*[
+        F.lit(None).cast(ts_type).alias(f"t{i}") for i in range(len(steps))
+    ])
+
+    def fold(acc, e):
+        fields = []
+        for i, st in enumerate(steps):
+            cur = acc[f"t{i}"]
+            ok = cur.isNull() & (e["et"] == F.lit(st))
+            if i > 0:
+                prev = acc[f"t{i-1}"]
+                ok = ok & prev.isNotNull() & (e["ts"] > prev)
+            fields.append(F.when(ok, e["ts"]).otherwise(cur).alias(f"t{i}"))
+        return F.struct(*fields)
+
+    agg = (
+        ev.groupBy(user_col)
+        .agg(F.aggregate(evs, zero, fold).alias("__f"))
+    )
+    out = agg.select(
+        user_col,
+        *[F.col(f"__f.t{i}").alias(f"step{i + 1}_ts") for i in range(len(steps))],
+    )
+    return out.filter(F.col(f"step{len(steps)}_ts").isNotNull())

@@ -1142,3 +1142,57 @@ SELECT source, doc_id, n_chars,
         // 20000) AS bin_id
 FROM documents
 """
+
+ORACLES["doc_chunks"] = """
+SELECT doc_id,
+       (s // 150)::INT  AS chunk_idx,
+       s::BIGINT        AS chunk_start,
+       substring(text, s::INT + 1, 200) AS chunk_text
+FROM (SELECT doc_id, text,
+             unnest(range(0, greatest(length(text), 1), 150)) AS s
+      FROM documents)
+"""
+
+ORACLES["funnel_conversion"] = """
+WITH s1 AS (SELECT user_id, min(ts) AS step1_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS step2_ts FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.step1_ts
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS step3_ts FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts
+       GROUP BY e.user_id)
+SELECT s1.user_id, step1_ts, step2_ts, step3_ts
+FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+        JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+ORACLES["fuzzy_vocab_match"] = """
+WITH toks AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+cat(canonical) AS (VALUES ('joyn'), ('skan'), ('colum'), ('windoww'),
+                          ('qery'), ('tabel'), ('streem'), ('vectr'))
+SELECT token, canonical, levenshtein(token, canonical)::BIGINT AS dist
+FROM toks, cat
+WHERE abs(length(token) - length(canonical)) <= 1
+  AND levenshtein(token, canonical) <= 1
+"""
+
+ORACLES["cube_returns"] = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       (SUM(l_quantity::DECIMAL(18,4)))::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLES["price_histogram"] = """
+SELECT floor(l_extendedprice / 5000.0)::BIGINT AS price_bucket,
+       COUNT(*) AS n,
+       min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi
+FROM lineitem
+GROUP BY 1
+"""

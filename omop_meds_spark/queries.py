@@ -1204,6 +1204,78 @@ def near_dup_clusters(spark, sf_dir):
     return connected_components(pairs, emb.select("vec_id"))
 
 
+def doc_chunks(spark, sf_dir):
+    """Context-window chunking: 200-char windows at stride 150 (overlap 50)
+    per document — the tokenizer-feed grain. Pure projection + posexplode:
+    zero shuffles, zero Python (operators/chunking.py)."""
+    from .operators.chunking import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_chars=200, stride=150)
+
+
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel view→click→purchase in ONE keyed exchange (sorted
+    array fold, operators/temporal.funnel_match); the oracle is the k-join
+    relational chain — same semantics, k shuffles the Spark plan avoids."""
+    from .operators.temporal import funnel_match
+
+    ev = t(spark, sf_dir, "events")
+    return funnel_match(ev, ["view", "click", "purchase"]).select(
+        "user_id",
+        "step1_ts", "step2_ts", "step3_ts",
+    )
+
+
+FUZZY_CATALOG = ["joyn", "skan", "colum", "windoww", "qery", "tabel",
+                 "streem", "vectr"]
+
+
+def fuzzy_vocab_match(spark, sf_dir):
+    """Edit-distance entity resolution: corpus token dictionary vs a typo'd
+    canonical catalog, Levenshtein <= 1 with a length-band block
+    (operators/joins.fuzzy_token_join — dictionary-sized nested loop over
+    a broadcast catalog, the corpus never meets the fuzzy predicate)."""
+    from .operators.joins import fuzzy_token_join
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("token"))
+    cat = spark.createDataFrame([(c,) for c in FUZZY_CATALOG], ["canonical"])
+    out = fuzzy_token_join(toks, cat, max_dist=1)
+    return out.select("token", "canonical", F.col("dist").cast("long").alias("dist"))
+
+
+def cube_returns(spark, sf_dir):
+    """CUBE grouping-sets: all 4 aggregation grains of (returnflag,
+    linestatus) in one pass — map-side grouping-set expansion, one
+    shuffle (A2 family; complements rollup_order_stats)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def price_histogram(spark, sf_dir):
+    """Equi-width histogram: fixed-width value binning + per-bin stats —
+    one map-side-combining aggregate, the profiling primitive for layout
+    decisions (zone-map usefulness, skew detection)."""
+    li = t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("long")
+    return (
+        li.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
 ALL_QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -1278,4 +1350,9 @@ ALL_QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "stratified_sample": stratified_sample,
     "token_packing": token_packing,
+    "doc_chunks": doc_chunks,
+    "funnel_conversion": funnel_conversion,
+    "fuzzy_vocab_match": fuzzy_vocab_match,
+    "cube_returns": cube_returns,
+    "price_histogram": price_histogram,
 }

@@ -332,3 +332,33 @@ def test_pii_pseudonymize_zero_exchanges(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     cols = set(c.split(":")[0] for c in m.group(1).split(","))
     assert cols == {"c_custkey", "c_name", "c_acctbal", "c_nationkey"}, cols
+
+
+def test_doc_chunks_zero_exchanges(spark):
+    plan = _plan(spark, "doc_chunks")
+    # pure projection + generate: no shuffle, no Python, pruned scan
+    assert _exchanges(plan) == 0
+    assert "Generate" in plan  # the posexplode fan-out
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"doc_id", "text"}
+
+
+def test_funnel_single_exchange_no_joins(spark):
+    plan = _plan(spark, "funnel_conversion")
+    # ONE user-keyed exchange for the collect_list fold; the relational
+    # k-join chain (the oracle) would be k shuffles + joins
+    assert _exchanges(plan) == 1
+    assert "Join" not in plan
+    # the step filter is pushed into the scan
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_fuzzy_join_broadcasts_catalog_not_corpus(spark):
+    plan = _plan(spark, "fuzzy_vocab_match")
+    # the non-equi distance predicate makes a BroadcastNestedLoopJoin the
+    # RIGHT plan — over the distinct-token dictionary, never the corpus:
+    # the distinct aggregate sits BELOW the join
+    assert "BroadcastNestedLoopJoin" in plan
+    i_agg = plan.find("HashAggregate")
+    i_join = plan.find("BroadcastNestedLoopJoin")
+    assert 0 <= i_join < i_agg  # executedPlan prints top-down: join above agg
