@@ -1196,3 +1196,22 @@ SELECT floor(l_extendedprice / 5000.0)::BIGINT AS price_bucket,
 FROM lineitem
 GROUP BY 1
 """
+
+_PIVOT_WIDE = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+ORACLES["event_type_pivot"] = _PIVOT_WIDE
+
+ORACLES["event_type_unpivot"] = f"""
+WITH wide AS ({_PIVOT_WIDE})
+SELECT user_id, metric, n_events
+FROM wide UNPIVOT (n_events FOR metric IN
+  (n_click, n_error, n_purchase, n_signup, n_view))
+"""

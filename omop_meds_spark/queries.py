@@ -1276,6 +1276,33 @@ def price_histogram(spark, sf_dir):
     )
 
 
+def event_type_pivot(spark, sf_dir):
+    """PIVOT: per-user event counts fanned into one column per event type
+    — long-to-wide reshape in one shuffle (`groupBy().pivot().count()`
+    with the pivot domain DECLARED, so Spark skips the extra
+    distinct-values job a blind pivot needs — the declared-domain form is
+    the only one that scales: the domain is schema, not data)."""
+    ev = t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    # count() leaves null for absent (user, type) pairs; report 0 — the
+    # semantic a wide activity matrix wants, and null-free for hashing
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in types],
+    )
+
+
+def event_type_unpivot(spark, sf_dir):
+    """UNPIVOT/MELT: the wide activity matrix back to long (metric, value)
+    rows — `unpivot()` is pure projection-side row fan-out (zero extra
+    shuffles beyond the pivot's own aggregate), the reshape needed before
+    a generic per-metric aggregation or export."""
+    wide = event_type_pivot(spark, sf_dir)
+    cols = [c for c in wide.columns if c != "user_id"]
+    return wide.unpivot("user_id", cols, "metric", "n_events")
+
+
 ALL_QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -1355,4 +1382,6 @@ ALL_QUERIES = {
     "fuzzy_vocab_match": fuzzy_vocab_match,
     "cube_returns": cube_returns,
     "price_histogram": price_histogram,
+    "event_type_pivot": event_type_pivot,
+    "event_type_unpivot": event_type_unpivot,
 }

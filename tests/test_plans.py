@@ -362,3 +362,19 @@ def test_fuzzy_join_broadcasts_catalog_not_corpus(spark):
     i_agg = plan.find("HashAggregate")
     i_join = plan.find("BroadcastNestedLoopJoin")
     assert 0 <= i_join < i_agg  # executedPlan prints top-down: join above agg
+
+
+def test_pivot_single_exchange_declared_domain(spark):
+    plan = _plan(spark, "event_type_pivot")
+    # declared pivot domain = one grouped aggregate, one exchange — no
+    # distinct-values pre-job, no join, no explode
+    assert _exchanges(plan) == 1
+    assert "Join" not in plan and "Generate" not in plan
+
+
+def test_unpivot_adds_no_exchange(spark):
+    plan = _plan(spark, "event_type_unpivot")
+    # melt is projection-side row fan-out (Expand) over the pivot's own
+    # aggregate — still exactly one exchange end-to-end
+    assert _exchanges(plan) == 1
+    assert "Expand" in plan or "Generate" in plan
