@@ -66,3 +66,31 @@ def run_to_memory(spark: SparkSession, wal_dir: str, name: str = "wal_metrics",
     if q.isActive:
         q.stop()
     return spark.table(name)
+
+
+def watermarked_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    time_col: str = "event_time",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """At-least-once → effectively-once pre-dedup for a redelivering
+    source: drop duplicate keys whose copies arrive within ``watermark``
+    of each other (``dropDuplicatesWithinWatermark`` — Spark keeps each
+    key's dedup state only until the watermark passes it, so state is
+    O(keys-per-watermark-window), NOT O(stream history — the unbounded
+    ``dropDuplicates`` trap on an infinite stream).
+
+    Complements the LWW kernel rather than replacing it: LWW is already
+    idempotent under byte-identical redelivery (operators/upsert.py), so
+    the CDC hot path does NOT pay this extra stateful stage; it is the
+    dial for sources that redeliver aggressively enough to make shuffling
+    duplicates wasteful, or for pipelines whose downstream op is not a
+    reduction. Exactly the bounded-state semantics a 100 TB stream needs:
+    duplicates separated by more than the watermark are the source
+    contract's problem, not the operator's.
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
