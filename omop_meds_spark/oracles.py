@@ -1215,3 +1215,14 @@ SELECT user_id, metric, n_events
 FROM wide UNPIVOT (n_events FOR metric IN
   (n_click, n_error, n_purchase, n_signup, n_view))
 """
+
+ORACLES["cohort_retention"] = """
+WITH first AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+               FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+SELECT f.cohort_day,
+       date_diff('day', f.cohort_day, a.day)::BIGINT AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""

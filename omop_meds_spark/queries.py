@@ -1278,18 +1278,20 @@ def price_histogram(spark, sf_dir):
 
 def event_type_pivot(spark, sf_dir):
     """PIVOT: per-user event counts fanned into one column per event type
-    — long-to-wide reshape in one shuffle (`groupBy().pivot().count()`
-    with the pivot domain DECLARED, so Spark skips the extra
-    distinct-values job a blind pivot needs — the declared-domain form is
-    the only one that scales: the domain is schema, not data)."""
+    — long-to-wide reshape as CONDITIONAL AGGREGATION over a DECLARED
+    domain: ONE user-keyed exchange with map-side combine (plan-pinned).
+    The `df.groupBy().pivot(col, values)` API twin compiles to Catalyst's
+    two-phase rewrite — an extra (user, type)-keyed exchange — and a
+    blind pivot adds a distinct-values job on top; declaring the domain
+    as schema and folding the fan-out into the aggregate is the form
+    that scales. Absent (user, type) pairs count 0 (null-free matrix)."""
     ev = t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    out = ev.groupBy("user_id").pivot("event_type", types).count()
-    # count() leaves null for absent (user, type) pairs; report 0 — the
-    # semantic a wide activity matrix wants, and null-free for hashing
-    return out.select(
-        "user_id",
-        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in types],
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == v, F.lit(1))).alias(f"n_{v}")
+            for v in types
+        ]
     )
 
 
@@ -1301,6 +1303,31 @@ def event_type_unpivot(spark, sf_dir):
     wide = event_type_pivot(spark, sf_dir)
     cols = [c for c in wide.columns if c != "user_id"]
     return wide.unpivot("user_id", cols, "metric", "n_events")
+
+
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity day, the
+    distinct-user count at each day offset since — the standard
+    behavioral-retention rollup. Shape: one user-keyed aggregate (cohort
+    assignment), one (user, day) distinct, a user-keyed join (co-
+    partitioned with the aggregate — no extra exchange class), and the
+    final (cohort, offset) count-distinct. All map-side-combining
+    aggregates; nothing user-row-shaped survives past the join."""
+    ev = t(spark, sf_dir, "events")
+    # day-truncated TIMESTAMPs, not DATEs: both engines hand pandas the
+    # same datetime64 then, where a DATE round-trips as date-object vs
+    # Timestamp and breaks the value hash
+    day = F.date_trunc("DAY", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    act = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
 
 
 ALL_QUERIES = {
@@ -1384,4 +1411,5 @@ ALL_QUERIES = {
     "price_histogram": price_histogram,
     "event_type_pivot": event_type_pivot,
     "event_type_unpivot": event_type_unpivot,
+    "cohort_retention": cohort_retention,
 }

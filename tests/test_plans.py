@@ -366,8 +366,9 @@ def test_fuzzy_join_broadcasts_catalog_not_corpus(spark):
 
 def test_pivot_single_exchange_declared_domain(spark):
     plan = _plan(spark, "event_type_pivot")
-    # declared pivot domain = one grouped aggregate, one exchange — no
-    # distinct-values pre-job, no join, no explode
+    # conditional aggregation over the declared domain = ONE user-keyed
+    # exchange with map-side combine (the .pivot() API twin would compile
+    # to Catalyst's two-phase rewrite: an extra (user, type) exchange)
     assert _exchanges(plan) == 1
     assert "Join" not in plan and "Generate" not in plan
 
