@@ -258,8 +258,10 @@ def fuzzy_token_join(
       BroadcastNestedLoopJoin, which is the RIGHT plan here: |dict| x
       |catalog| comparisons, never corpus-sized,
     * the LENGTH-BAND block (||a|-|b|| <= max_dist, a necessary condition
-      of the edit distance) and ``F.levenshtein``'s own early-exit bound
-      keep the per-pair cost tiny.
+      of the edit distance) prunes pairs before any DP work, and the
+      distance itself is computed with ``F.levenshtein``'s THRESHOLD form
+      (Spark 3.5+), which abandons the DP matrix as soon as the bound is
+      exceeded (returns -1) instead of paying O(|a|*|b|) per pair.
 
     For catalog sizes past broadcast range, block both sides on a shared
     key (length band + first char) into an equi-join before the distance
@@ -271,12 +273,14 @@ def fuzzy_token_join(
     """
     toks = tokens.select(F.col(token_col).alias("token")).distinct()
     cat = catalog.select(F.col(canon_col).alias("canonical"))
-    dist = F.levenshtein(F.col("token"), F.col("canonical"))
+    # threshold form: early-exits past max_dist and returns -1, so the
+    # within-bound result is the exact distance and the predicate is >= 0
+    dist = F.levenshtein(F.col("token"), F.col("canonical"), max_dist)
     return (
         toks.join(
             F.broadcast(cat),
             (F.abs(F.length("token") - F.length("canonical")) <= max_dist)
-            & (dist <= max_dist),
+            & (dist >= 0),
         )
         .select("token", "canonical", dist.alias("dist"))
     )

@@ -1221,10 +1221,7 @@ def funnel_conversion(spark, sf_dir):
     from .operators.temporal import funnel_match
 
     ev = t(spark, sf_dir, "events")
-    return funnel_match(ev, ["view", "click", "purchase"]).select(
-        "user_id",
-        "step1_ts", "step2_ts", "step3_ts",
-    )
+    return funnel_match(ev, ["view", "click", "purchase"])
 
 
 FUZZY_CATALOG = ["joyn", "skan", "colum", "windoww", "qery", "tabel",

@@ -77,7 +77,13 @@ def stateful_event_totals(events: DataFrame, key_col: str = "user_id") -> DataFr
     )
 
 
-def make_funnel_state_op(steps: list[str]):
+def make_funnel_state_op(
+    steps: list[str],
+    key_col: str = "user_id",
+    key_type=None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
     """Factory for a STREAMING ordered-funnel operator over
     ``applyInPandasWithState`` — the stateful twin of
     ``operators.temporal.funnel_match`` (same strict-order semantics:
@@ -103,7 +109,7 @@ def make_funnel_state_op(steps: list[str]):
 
     k = len(steps)
     out_schema = StructType(
-        [StructField("user_id", LongType())]
+        [StructField(key_col, key_type if key_type is not None else LongType())]
         + [StructField(f"step{i + 1}_ts", TimestampType()) for i in range(k)]
         + [StructField("converted", BooleanType()),
            StructField("n_seen", LongType())]
@@ -126,8 +132,8 @@ def make_funnel_state_op(steps: list[str]):
             if not len(pdf):
                 continue
             n_seen += len(pdf)
-            ns = pdf["ts"].astype("int64")
-            et = pdf["event_type"]
+            ns = pdf[ts_col].astype("int64")
+            et = pdf[type_col]
             for i, st in enumerate(steps):
                 new = ns[et == st]
                 if len(new):
@@ -147,7 +153,7 @@ def make_funnel_state_op(steps: list[str]):
                 cur = arr[j] if j < len(arr) else None
             times.append(cur)
             prev = cur
-        row: dict[str, list] = {"user_id": [key[0]]}
+        row: dict[str, list] = {key_col: [key[0]]}
         for i in range(k):
             row[f"step{i + 1}_ts"] = [
                 pd.Timestamp(times[i]) if times[i] is not None else pd.NaT
@@ -160,16 +166,27 @@ def make_funnel_state_op(steps: list[str]):
 
 
 def stateful_funnel(
-    events: DataFrame, steps: list[str], key_col: str = "user_id"
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
 ) -> DataFrame:
-    """Streaming ordered-funnel conversion per user — see
-    ``make_funnel_state_op``. The pushed step filter keeps non-funnel
-    events out of the Python worker entirely."""
-    update_fn, out_schema, state_schema = make_funnel_state_op(steps)
+    """Streaming ordered-funnel conversion per key — see
+    ``make_funnel_state_op``. The key/ts/type columns are parameterized
+    like the batch twin's, with the key field's TYPE taken from the input
+    schema so a string or int key emits through the right Arrow type. The
+    pushed step filter keeps non-funnel events out of the Python worker
+    entirely."""
+    update_fn, out_schema, state_schema = make_funnel_state_op(
+        steps, key_col=key_col,
+        key_type=events.schema[key_col].dataType,
+        ts_col=ts_col, type_col=type_col,
+    )
     from pyspark.sql import functions as F
 
     return (
-        events.filter(F.col("event_type").isin(*steps))
+        events.filter(F.col(type_col).isin(*steps))
         .groupBy(key_col)
         .applyInPandasWithState(
             update_fn,

@@ -146,3 +146,41 @@ def test_streaming_funnel_corrects_out_of_order_arrival(spark, tmpdir_path):
     # and its early emission really was a stale 'unconverted' answer
     u999 = emitted.filter("user_id = 999").orderBy("n_seen").collect()
     assert len(u999) >= 2 and not u999[0].converted and u999[-1].converted
+
+
+def test_streaming_funnel_string_key_and_custom_cols(spark, tmpdir_path):
+    """The key/ts/type columns are parameterized like the batch twin's:
+    a STRING key must flow through the emitted schema (the key field's
+    type is taken from the input schema, not pinned to long)."""
+    import datetime as dt
+
+    from omop_meds_spark.streaming.stateful import stateful_funnel
+
+    t0 = dt.datetime(2026, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        ("alice", t0, "A"), ("alice", t0 + s, "B"),
+        ("bob", t0, "B"), ("bob", t0 + s, "A"),
+    ]
+    src = Path(tmpdir_path) / "skey_events"
+    src.mkdir()
+    spark.createDataFrame(rows, "who string, at timestamp, kind string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "f0.parquet"))
+    stream = (
+        spark.readStream.schema("who string, at timestamp, kind string")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stateful_funnel(stream, ["A", "B"], key_col="who", ts_col="at",
+                        type_col="kind")
+        .writeStream.format("memory").queryName("skey_funnel")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir_path}/skey_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {r.who: r.converted for r in spark.sql("SELECT * FROM skey_funnel").collect()}
+    assert got == {"alice": True, "bob": False}
