@@ -175,13 +175,19 @@ def normalize_events(df: DataFrame) -> DataFrame:
 
     c = F.col("content")
     n_lines, _n_bytes, max_line_len = content_metrics_builtin(c)
-    return (
-        df.withColumn(CONTENT_HASH_COL, F.sha2(c, 256))
-        .withColumn("token_count", TX.token_count(c))
-        .withColumn("lang_pred", TX.lang_id(c))
-        .withColumn("n_lines", n_lines)
-        .withColumn("max_line_len", max_line_len)
-        .withColumn("lang_code", code_map_builtin(LANG_CODE_MAP, F.col("lang")))
+    # ONE select, not a withColumn chain: classic PySpark analyzes the
+    # plan eagerly on EVERY DataFrame op, so six chained withColumns cost
+    # six Catalyst analysis passes over a deepening tree — pure serial
+    # driver latency paid per micro-batch on both sides of the N→4N
+    # ratio. A single projection is one pass and an identical plan.
+    return df.select(
+        "*",
+        F.sha2(c, 256).alias(CONTENT_HASH_COL),
+        TX.token_count(c).alias("token_count"),
+        TX.lang_id(c).alias("lang_pred"),
+        n_lines.alias("n_lines"),
+        max_line_len.alias("max_line_len"),
+        code_map_builtin(LANG_CODE_MAP, F.col("lang")).alias("lang_code"),
     )
 
 
