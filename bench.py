@@ -509,6 +509,7 @@ def run_scaling(
 
     n_batches = None
     replays_done = 0
+    sim_effs: list[float] = []
     try:
         t0 = time.monotonic()
         floor_hist: list[tuple[float, float]] = []
@@ -547,6 +548,46 @@ def run_scaling(
                     and len(valid_effs()) >= min_valid_ratios
                     and floors_stable):
                 break
+        # SIMULTANEOUS diagnostic block (recorded, never the headline):
+        # one more replay per side with the k-th batches executing AT THE
+        # SAME INSTANT on both JVMs — the limit case of phase alignment.
+        # Both sides then see the identical host phase AND the identical
+        # active-core count, which removes the one bias lockstep cannot:
+        # on an otherwise-idle box, single-active-core turbo clocks the
+        # 1-core window ~10% above the adjacent 4-thread window, deflating
+        # alternate-lockstep ratios even as both sides get absolutely
+        # faster (BASELINE.md, twelfth capture). Kept OUT of the headline
+        # because simultaneity has its own small bias channel in the
+        # OPPOSITE direction — the wide side's threads can steal memory
+        # bandwidth from the narrow side's one thread, inflating the
+        # ratio — so it cross-checks the conservative estimators rather
+        # than replacing them.
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        def step_raw(c: int) -> dict:
+            # sim rows are a separate experiment: do NOT append to
+            # batches[], which anchors the main protocol's floors/gates
+            procs[c].stdin.write("step\n")
+            procs[c].stdin.flush()
+            return readline(procs[c])
+
+        sim = {lo_c: [], hi_c: []}
+        k = 0
+        while True:
+            with _TPE(2) as tp:
+                flo = tp.submit(step_raw, lo_c)
+                fhi = tp.submit(step_raw, hi_c)
+                blo, bhi = flo.result(), fhi.result()
+            sim[lo_c].append(blo)
+            sim[hi_c].append(bhi)
+            k += 1
+            if k >= (n_batches or 1):
+                break
+        sim_effs = [
+            round((a["wall_s"] / b["wall_s"]) / (hi_c / lo_c), 3)
+            for a, b in zip(sim[lo_c], sim[hi_c])
+            if a["batch_index"] == b["batch_index"] and a["batch_index"] >= 1
+        ]
     finally:
         # a worker dying mid-protocol must not leak its sibling's warm JVM
         # or the RAM-backed /dev/shm replay tables
@@ -627,6 +668,9 @@ def run_scaling(
     }
     out["scaling_efficiency"] = headline
     out["scaling_efficiency_pair_median"] = pair_median
+    out["simultaneous_pair_efficiencies"] = sim_effs
+    out["simultaneous_efficiency_median"] = (
+        round(statistics.median(sim_effs), 3) if sim_effs else None)
     out["scaling_efficiency_valid_n"] = len(valid)
     out["scaling_efficiency_median_raw"] = (
         round(statistics.median([r["efficiency"] for r in steady_rows]), 3)
