@@ -137,6 +137,29 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--ref", default=None, help="tag name (alternative to --version)")
     rs.add_argument("--cores", type=int, default=None)
 
+    dl = sub.add_parser("delete", help="row-level soft DELETE: tombstone "
+                                       "live rows matching a SQL predicate "
+                                       "(change-feed visible, time travel "
+                                       "keeps history)")
+    dl.add_argument("--table", required=True)
+    dl.add_argument("--where", required=True,
+                    help="SQL boolean expression over the live columns")
+    dl.add_argument("--cores", type=int, default=None)
+
+    pg = sub.add_parser("purge", help="GDPR hard erase: physically rewrite "
+                                      "affected buckets without the matched "
+                                      "keys (run delete first to announce; "
+                                      "follow with --vacuum to unlink "
+                                      "pre-purge files)")
+    pg.add_argument("--table", required=True)
+    pg.add_argument("--where", required=True,
+                    help="SQL boolean expression over the live columns")
+    pg.add_argument("--vacuum", action="store_true",
+                    help="after the rewrite, vacuum(keep_versions=1) so no "
+                         "retained snapshot or on-disk file still holds the "
+                         "purged rows")
+    pg.add_argument("--cores", type=int, default=None)
+
     rb = sub.add_parser(
         "rebucket", help="transactionally change the table's bucket count "
                          "(one full LWW rewrite; layout flips at the commit)")
@@ -327,6 +350,27 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session(args.cores)
         t = SnapshotTable(args.table, KEY_COLS)
         print(json.dumps(t.restore(spark, version=args.version, ref=args.ref)))
+        return 0
+
+    if args.cmd == "delete":
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        spark = _session(args.cores)
+        t = SnapshotTable(args.table, KEY_COLS)
+        print(json.dumps(t.delete_where(spark, args.where)))
+        return 0
+
+    if args.cmd == "purge":
+        from .schemas import KEY_COLS
+        from .table import SnapshotTable
+
+        spark = _session(args.cores)
+        t = SnapshotTable(args.table, KEY_COLS)
+        out = t.purge_where(spark, args.where)
+        if args.vacuum:
+            out["vacuum"] = t.vacuum(keep_versions=1)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "compact":

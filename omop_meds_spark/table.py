@@ -1511,7 +1511,8 @@ class SnapshotTable:
     def compact(self, spark: SparkSession, key_reduce=None,
                 buckets: list[int] | None = None,
                 cluster_by: list[str] | None = None,
-                cluster_mode: str = "lex") -> bool:
+                cluster_mode: str = "lex",
+                lineage_extra: dict | None = None) -> bool:
         """Fold a bucket's delta generations into one (LWW-reduced,
         tombstones retained). ``buckets=None`` compacts the whole table;
         passing ``hot_buckets(threshold)`` makes compaction INCREMENTAL —
@@ -1604,7 +1605,8 @@ class SnapshotTable:
                       lineage={"compaction": True, "buckets": target,
                                **({"cluster_by": cluster_by,
                                    "cluster_mode": cluster_mode}
-                                  if cluster_by else {})},
+                                  if cluster_by else {}),
+                               **(lineage_extra or {})},
                       file_stats=file_stats,
                       add_committed=False)
         return True
@@ -1796,6 +1798,131 @@ class SnapshotTable:
         return {"restored": True,
                 "changed": int(stats["n_keys"]) if stats else 0,
                 "version": self.version}
+
+    def delete_where(self, spark: SparkSession, condition,
+                     batch_id: int | None = None,
+                     op_col: str = "op") -> dict:
+        """Row-level soft DELETE (the DML half of GDPR erasure; see
+        ``purge_where`` for the physical half). Live rows matching
+        ``condition`` — a SQL boolean expression string or a Column —
+        get delete tombstones through the ORDINARY commit path, so the
+        change feed announces them (``op='D'`` rows carrying the deleted
+        row's pre-image, Delta CDF style), incremental views fold them,
+        time travel still sees the pre-delete versions, and exactly-once
+        bookkeeping is untouched.
+
+        Ordering reuses ``restore``'s convention: tombstones sit at
+        ``seq_no = current watermark`` with a synthesized tiebreak above
+        any ASCII event id (strictly increasing across stacked DML
+        commits), so they beat every row already in state but LOSE to the
+        source's next real event — an upstream re-insert after the DELETE
+        wins, which is the correct CDC semantics. Tables without an
+        ``event_id`` tiebreak column use ``watermark+1`` (same documented
+        caveat as restore).
+
+        Cost: one live read + filter + standard delta commit — O(live) scan
+        floor (predicate pushdown and zone maps prune where they can), and
+        the WRITE is O(matched rows). Returns {"deleted", "version"}."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        cur = self.read_live(spark, op_col=op_col)
+        if cur is None:
+            return {"deleted": 0, "version": self.version}
+        seq_col = "seq_no"
+        tiebreak_col = "event_id" if "event_id" in cur.columns else seq_col
+        new_seq = self.watermark() + (1 if tiebreak_col == seq_col else 0)
+        tb_type = dict(cur.dtypes).get(tiebreak_col, "string")
+        delta = (cur.filter(cond)
+                 .withColumn(op_col, F.lit("D"))
+                 .withColumn(seq_col, F.lit(new_seq).cast("long")))
+        if tiebreak_col != seq_col:
+            kh = F.xxhash64(*[F.col(k) for k in self.key_cols])
+            tb = (F.concat(F.lit("\uffff"),
+                           F.lit(f"{self.version + 1:020d}-"),
+                           kh.cast("string"))
+                  if tb_type == "string" else kh.cast(tb_type))
+            delta = delta.withColumn(tiebreak_col, tb)
+        if delta.isEmpty():
+            return {"deleted": 0, "version": self.version}
+        if batch_id is None:
+            batch_id = MAINT_BATCH_BASE + self.version + 1
+        stats = self.commit_delta_auto(
+            delta, batch_id,
+            lineage={"dml": "delete",
+                     "predicate": condition if isinstance(condition, str)
+                     else str(condition)})
+        return {"deleted": int(stats["n_keys"]) if stats else 0,
+                "version": self.version}
+
+    def purge_keys(self, spark: SparkSession, keys: DataFrame) -> dict:
+        """PHYSICAL erase of the given keys from the CURRENT layout — the
+        hard half of GDPR erasure. Every generation of every affected
+        bucket is rewritten without the matched keys (winners, stale
+        losers, and their tombstones all go); zone maps and Bloom filters
+        are recomputed from the rewritten files, so point lookups stop
+        seeing the key at the manifest level too.
+
+        This is deliberately NOT a logical change: the rewrite rides the
+        compaction path (``files_replace``, no ``files_add``), so the
+        change feed shows nothing — announce the deletion FIRST with
+        ``delete_where`` (consumers fold the tombstone), then purge, then
+        ``vacuum(keep_versions=1)`` to unlink the pre-purge files and
+        retire the manifests that referenced them. Until that vacuum, old
+        snapshots still materialize the data (time travel is the point of
+        the log); snapshot TAGS pin versions through vacuum, so a tag on a
+        pre-purge version BLOCKS full erasure until dropped — callers
+        doing compliance erasure should check ``tags()``.
+
+        Write-audit-publish stages are invisible to readers but are real
+        parquet on disk; purge refuses to run while any exist (publish or
+        drop them first). Cost: O(affected buckets' state) — the matched
+        keys' buckets only, manifest-pruned, keys broadcast into a
+        left-anti join. Returns {"purged_keys", "buckets", "version"}."""
+        staged = self.staged()
+        if staged:
+            raise ValueError(
+                f"purge_keys: staged commits {sorted(staged)} exist — their "
+                f"files may carry the keys; publish_staged/drop_staged first")
+        kdf = keys.select(*self.key_cols).distinct().persist()
+        try:
+            n_keys = kdf.count()
+            if n_keys == 0:
+                return {"purged_keys": 0, "buckets": [],
+                        "version": self.version}
+            affected = sorted(
+                r["__b"] for r in kdf.select(
+                    bucket_expr(self.key_cols, self.n_buckets).alias("__b")
+                ).distinct().collect())
+            from .operators.upsert import last_writer_wins
+
+            def reduce(d: DataFrame) -> DataFrame:
+                tiebreak = "event_id" if "event_id" in d.columns else "seq_no"
+                w = last_writer_wins(d, self.key_cols, tiebreak_col=tiebreak,
+                                     salted=False)
+                return w.join(F.broadcast(kdf), on=self.key_cols,
+                              how="left_anti")
+
+            done = self.compact(spark, key_reduce=reduce, buckets=affected,
+                                lineage_extra={"purge_keys": n_keys})
+            return {"purged_keys": n_keys if done else 0,
+                    "buckets": affected if done else [],
+                    "version": self.version}
+        finally:
+            kdf.unpersist()
+
+    def purge_where(self, spark: SparkSession, condition,
+                    op_col: str = "op") -> dict:
+        """``purge_keys`` by predicate: physically erase every key whose
+        CURRENT live row matches ``condition`` (SQL string or Column).
+        Matching is against live winners — a key whose only match is a
+        stale overwritten generation is NOT selected; pass explicit keys
+        to ``purge_keys`` for erase-regardless-of-current-state. See
+        ``purge_keys`` for the erasure protocol (delete_where → purge →
+        vacuum) and its tag/WAP caveats."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        cur = self.read_live(spark, op_col=op_col)
+        if cur is None:
+            return {"purged_keys": 0, "buckets": [], "version": self.version}
+        return self.purge_keys(spark, cur.filter(cond))
 
     def clone_to(self, target_root: str | Path) -> "SnapshotTable":
         """Zero-copy SHALLOW CLONE (Delta ``SHALLOW CLONE`` / Iceberg
