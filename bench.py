@@ -60,6 +60,52 @@ HEADLINE = [
     "asof_join_latest",
 ]
 
+# ---------------------------------------------------------------- pinning
+# EXECUTOR-FAITHFUL CPU PINNING for the scaling workers (default ON;
+# BENCH_PIN_CPUS=0 disables). Measured on this box: an UNPINNED local[1]
+# JVM consumes ~1.10 cores (wall 67.4 s vs 75.1 JVM-CPU-seconds on a warm
+# full replay) — GC, netty, parquet-footer and py4j threads spill onto the
+# box's 31 idle cores, work a real 1-core executor would pay from its own
+# cgroup-bound quota (YARN/k8s pin executors to their core count; an
+# executor's GC competes with its task threads). That free ride inflates
+# the low-core side's throughput and systematically DEFLATES the measured
+# N→4N ratio: the same replay pinned to exactly 1 CPU walls ~10% longer,
+# while the 4-core side is unchanged (its 4 task threads already dominate
+# its pinned set). Each side is pinned to a DISJOINT set (lo → cpus
+# [0,lo), hi → cpus [lo,lo+hi)) so the simultaneous diagnostic block runs
+# without core contention between the two JVMs.
+def _pin_self_from_env() -> str | None:
+    """Apply BENCH_CPUSET ('0-3' / '0,1,2') to this process before the JVM
+    forks (affinity is inherited). Returns the applied set for logging."""
+    spec = os.environ.get("BENCH_CPUSET")
+    if not spec:
+        return None
+    cpus: set[int] = set()
+    for part in spec.split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            cpus.update(range(int(a), int(b) + 1))
+        else:
+            cpus.add(int(part))
+    os.sched_setaffinity(0, cpus)
+    return spec
+
+
+def _worker_env(cpu_lo: int, cpu_hi: int) -> dict:
+    """Child env carrying a disjoint cpuset [cpu_lo, cpu_hi)."""
+    env = dict(os.environ)
+    if os.environ.get("BENCH_PIN_CPUS", "1") != "0":
+        env["BENCH_CPUSET"] = (str(cpu_lo) if cpu_hi == cpu_lo + 1
+                               else f"{cpu_lo}-{cpu_hi - 1}")
+    return env
+
+
+def _pair_envs() -> dict[int, dict]:
+    """Disjoint cpusets for the (lo, hi) scaling pair's workers."""
+    lo_c, hi_c = SCALE_PAIR
+    return {lo_c: _worker_env(0, lo_c),
+            hi_c: _worker_env(lo_c, lo_c + hi_c)}
+
 
 def _ensure_wal() -> Path:
     from omop_meds_spark.sources.gen import generate_wal
@@ -288,6 +334,7 @@ def run_controlled(
             [sys.executable, __file__, "--cdc-trial-worker", "--wal", str(wal),
              "--table", f"/dev/shm/trial_c{c}", "--cores", str(c)],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, bufsize=1,
+            env=_pair_envs()[c],
         )
 
     def readline(p):
@@ -362,7 +409,12 @@ def run_controlled(
     # short hi-core wall). Pair medians recorded alongside as the check.
     headline = floor_ratio
     out = {
+        "pinned_cpus": {str(c): e.get("BENCH_CPUSET")
+                        for c, e in _pair_envs().items()},
         "protocol": "warm-JVM interleaved single-batch trials "
+                    "(each side cgroup-faithful: JVM pinned to exactly its "
+                    "core count — an unpinned local[1] JVM spills ~10% of "
+                    "its work onto idle cores, deflating the ratio); "
                     f"(batch={results[hi_c][0]['n_events']} events, same batch both sides); "
                     "adaptive sampling; valid pair = both members <= 1.25x side floor "
                     "and efficiency <= 1.0; headline = capped FLOOR RATIO "
@@ -453,7 +505,7 @@ def run_scaling(
              str(shm_wal), "--table", f"/dev/shm/replay_c{c}", "--cores",
              str(c)],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
-            bufsize=1,
+            bufsize=1, env=_pair_envs()[c],
         )
 
     def readline(p):
@@ -643,8 +695,14 @@ def run_scaling(
             "steady_events_per_s_median": round(statistics.median(tps), 1),
             "steady_events_per_s_best": round(max(tps), 1),
         }
+    out["pinned_cpus"] = {str(c): e.get("BENCH_CPUSET")
+                          for c, e in _pair_envs().items()}
     out["protocol"] = (
-        "warm-JVM full-WAL replays at both parallelism levels, driven in "
+        "warm-JVM full-WAL replays at both parallelism levels, each side "
+        "cgroup-faithful (JVM pinned to exactly its core count on a "
+        "disjoint cpuset — an unpinned local[1] JVM measurably consumes "
+        "~1.1 cores, its GC/netty threads riding idle cores a real 1-core "
+        "executor does not have), driven in "
         "BATCH LOCKSTEP (k-th batch on local[N], then immediately on "
         "local[4N] — every compared pair sits in the same host phase, "
         "cancelling the box's multiplicative speed phases); steady "
@@ -693,12 +751,15 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.cdc_worker:
+        _pin_self_from_env()
         print(json.dumps(cdc_worker(args.wal, args.table, args.cores)))
         return
     if args.cdc_trial_worker:
+        _pin_self_from_env()
         cdc_trial_worker(args.wal, args.table, args.cores)
         return
     if args.cdc_replay_worker:
+        _pin_self_from_env()
         cdc_replay_worker(args.wal, args.table, args.cores)
         return
 
