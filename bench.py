@@ -225,7 +225,12 @@ def cdc_trial_worker(wal: str, table_root: str, cores: int) -> None:
     warm = CDCRunner(spark, wal, f"{table_root}/warm", n_buckets=32,
                      files_per_batch=FILES_PER_BATCH)
     batches = warm.reader.plan_batches()
-    warm.apply_batch(batches[0])
+    # FULL warmup replay, matching cdc_replay_worker: C2 + codegen need
+    # ~4-5 batches to reach steady state — a single-batch warmup leaves the
+    # first trials 10-15% slow on BOTH sides, and since the fixed warmup
+    # deficit is a larger fraction of the short hi-core wall it biases the
+    # early pair ratios (and the floor anchor) LOW.
+    warm.run()
     trial_batch = batches[1] if len(batches) > 1 else batches[0]
     print(json.dumps({"ready": True, "cores": cores}), flush=True)
     for line in sys.stdin:

