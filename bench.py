@@ -107,6 +107,52 @@ def _pair_envs() -> dict[int, dict]:
             hi_c: _worker_env(lo_c, lo_c + hi_c)}
 
 
+class _ClockProbe:
+    """Continuous effective-clock sampler: a fixed integer spin loop on one
+    spare cpu, recording (t_start, t_end, duration) per rep. The ratio of
+    probe durations between two time windows measures the relative CPU
+    speed of those windows (turbo state + co-tenant phase), independent of
+    the workload under test. Pure stdlib; ~5% of one core's duty cycle
+    (sleeps between reps so it never meaningfully perturbs the box)."""
+
+    SPIN = 1_000_000  # ~75 ms of fixed integer work on this box
+
+    def __init__(self, cpu: int):
+        self.cpu = cpu
+        self.samples: list[tuple[float, float, float]] = []
+        self._stop = False
+        import threading
+
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self._thread.start()
+
+    def stop(self):
+        self._stop = True
+
+    def _run(self):
+        try:
+            os.sched_setaffinity(0, {self.cpu})
+        except OSError:
+            pass  # cpu out of range on a tiny box — sample unpinned
+        while not self._stop:
+            t0 = time.monotonic()
+            x = 0
+            for i in range(self.SPIN):
+                x = (x * 31 + i) & 0xFFFFFFFF
+            t1 = time.monotonic()
+            self.samples.append((t0, t1, t1 - t0))
+            time.sleep(1.0)
+
+    def median_in(self, windows: list[tuple[float, float]]) -> float | None:
+        import statistics
+
+        durs = [d for (s, e, d) in self.samples
+                if any(ws <= s and e <= we for ws, we in windows)]
+        return round(statistics.median(durs), 4) if durs else None
+
+
 def _ensure_wal() -> Path:
     from omop_meds_spark.sources.gen import generate_wal
 
@@ -527,10 +573,28 @@ def run_scaling(
     # batches[cores] = flat list of per-batch records, in lockstep order
     batches: dict[int, list[dict]] = {lo_c: [], hi_c: []}
 
+    # CLOCK PROBE (diagnostic, never the headline): a fixed spin loop on a
+    # spare cpu OUTSIDE both workers' cpusets, sampled continuously. During
+    # a lo-side batch the box has lo_c+1 active cores; during a hi-side
+    # batch hi_c+1 — so the probe's wall per fixed work measures the
+    # EFFECTIVE CLOCK of each measurement regime directly (idle-box turbo
+    # clocks few-active-core windows ~10% above many-active-core windows,
+    # which deflates the wall-clock ratio even though a fixed-clock
+    # multi-host cluster has no such asymmetry; BASELINE.md twelfth
+    # capture inferred this from floors — the probe measures it).
+    # clock_ratio = median(probe during hi) / median(probe during lo);
+    # clock_normalized_efficiency = headline * clock_ratio, recorded as a
+    # cross-check only.
+    probe = _ClockProbe(cpu=SCALE_PAIR[0] + SCALE_PAIR[1])
+    probe.start()
+    windows: dict[int, list[tuple[float, float]]] = {c: [] for c in (lo_c, hi_c)}
+
     def step(c: int) -> dict:
         procs[c].stdin.write("step\n")
         procs[c].stdin.flush()
+        w0 = time.monotonic()
         r = readline(procs[c])
+        windows[c].append((w0, time.monotonic()))
         batches[c].append(r)
         return r
 
@@ -650,6 +714,7 @@ def run_scaling(
         # or the RAM-backed /dev/shm replay tables
         import shutil
 
+        probe.stop()
         for c in (lo_c, hi_c):
             try:
                 procs[c].stdin.write("quit\n")
@@ -738,6 +803,22 @@ def run_scaling(
     out["scaling_efficiency_median_raw"] = (
         round(statistics.median([r["efficiency"] for r in steady_rows]), 3)
         if steady_rows else None)
+    # clock-probe diagnostic: effective CPU speed of each side's
+    # measurement windows (see _ClockProbe). clock_ratio > 1 means the
+    # hi-side windows ran on a slower clock (more active cores → less
+    # turbo), i.e. the wall-clock ratio UNDERSTATES fixed-clock-cluster
+    # scaling by that factor. Recorded, never the headline.
+    p_lo = probe.median_in(windows[lo_c])
+    p_hi = probe.median_in(windows[hi_c])
+    out["clock_probe"] = {
+        "probe_ms_lo_windows": round(p_lo * 1000, 2) if p_lo else None,
+        "probe_ms_hi_windows": round(p_hi * 1000, 2) if p_hi else None,
+    }
+    if p_lo and p_hi:
+        cr = round(p_hi / p_lo, 3)
+        out["clock_probe"]["clock_ratio_hi_over_lo"] = cr
+        out["clock_probe"]["clock_normalized_efficiency"] = round(
+            min(out["scaling_efficiency"] * cr, 1.0), 3)
     return out
 
 
