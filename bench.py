@@ -401,6 +401,9 @@ def run_controlled(
 
     results: dict[int, list[dict]] = {lo_c: [], hi_c: []}
     pairs: list[float] = []
+    probe = _ClockProbe(cpu=lo_c + hi_c)  # spare cpu outside both cpusets
+    probe.start()
+    windows: dict[int, list[tuple[float, float]]] = {lo_c: [], hi_c: []}
 
     def valid_indices() -> list[int]:
         lo_floor = min(r["wall_s"] for r in results[lo_c])
@@ -419,7 +422,9 @@ def run_controlled(
             for c in (lo_c, hi_c):
                 procs[c].stdin.write("go\n")
                 procs[c].stdin.flush()
+                w0 = time.monotonic()
                 results[c].append(readline(procs[c]))
+                windows[c].append((w0, time.monotonic()))
             eff = (results[hi_c][-1]["events_per_s"] /
                    results[lo_c][-1]["events_per_s"]) / (hi_c / lo_c)
             pairs.append(round(eff, 3))
@@ -440,6 +445,7 @@ def run_controlled(
     finally:
         import shutil
 
+        probe.stop()
         for c in (lo_c, hi_c):
             try:
                 procs[c].stdin.write("quit\n")
@@ -493,6 +499,18 @@ def run_controlled(
             "events_per_s_median": round(statistics.median(vals), 1),
             "events_per_s_best": round(max(vals), 1),
         }
+    # clock-probe diagnostic (see run_scaling / _ClockProbe)
+    p_lo = probe.median_in(windows[lo_c])
+    p_hi = probe.median_in(windows[hi_c])
+    out["clock_probe"] = {
+        "probe_ms_lo_windows": round(p_lo * 1000, 2) if p_lo else None,
+        "probe_ms_hi_windows": round(p_hi * 1000, 2) if p_hi else None,
+    }
+    if p_lo and p_hi:
+        cr = round(p_hi / p_lo, 3)
+        out["clock_probe"]["clock_ratio_hi_over_lo"] = cr
+        out["clock_probe"]["clock_normalized_efficiency"] = round(
+            min(headline * cr, 1.0), 3)
     return out
 
 
