@@ -339,6 +339,17 @@ SELECT user_id, event_type AS cur_type, value AS cur_value
 FROM w WHERE rn = 1 AND op <> 'D'
 """
 
+ORACLES["dml_delete_purge"] = """
+WITH w AS (
+  SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type AS cur_type, value AS cur_value
+FROM w WHERE rn = 1 AND op <> 'D'
+  AND event_type NOT IN ('click', 'purchase')
+"""
+
 ORACLES["incremental_agg_view"] = """
 WITH src AS (
   SELECT user_id, epoch_us(ts) AS seq_no, event_id, event_type, value,

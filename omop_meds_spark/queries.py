@@ -309,6 +309,46 @@ def table_restore(spark, sf_dir):
     )
 
 
+def dml_delete_purge(spark, sf_dir):
+    """Row-level DML end to end through the real table API
+    (table.py:delete_where/purge_where — the delete → purge → vacuum GDPR
+    erasure protocol): events replay into a SnapshotTable, 'click' rows
+    are soft-DELETED (tombstones through the ordinary commit path,
+    change-feed visible), 'purchase' keys are hard-PURGED (physical
+    bucket rewrite of every generation), then vacuum(keep_versions=1)
+    unlinks the pre-purge files. The post-vacuum live state must equal
+    latest-per-key minus deletes minus both DML'd classes. Temp table
+    leaks to /tmp for the lazy read (OS-reaped)."""
+    import tempfile
+
+    from .table import SnapshotTable
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn("seq_no", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("event_id", "seq_no", "user_id", "event_type", "value", "op")
+    )
+    tbl = SnapshotTable(tempfile.mkdtemp(prefix="cdc_dml_"), ["user_id"],
+                        n_buckets=8)
+    for b in (0, 1):
+        winners = last_writer_wins(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == b), ["user_id"]
+        )
+        tbl.commit_delta_auto(winners, b)
+    tbl.delete_where(spark, "event_type = 'click'")
+    tbl.purge_where(spark, "event_type = 'purchase'")
+    tbl.vacuum(keep_versions=1)
+    return tbl.read_live(spark).select(
+        "user_id",
+        F.col("event_type").alias("cur_type"),
+        F.col("value").alias("cur_value"),
+    )
+
+
 def wap_staged_apply(spark, sf_dir):
     """Write-audit-publish end to end through the real table API
     (table.py:stage_delta/read_staged/publish_staged — the Iceberg WAP
@@ -1353,6 +1393,7 @@ ALL_QUERIES = {
     "sessionize": sessionize,
     "incremental_agg_view": incremental_agg_view,
     "table_restore": table_restore,
+    "dml_delete_purge": dml_delete_purge,
     "wap_staged_apply": wap_staged_apply,
     "bloom_eq_read": bloom_eq_read,
     "scd2_view_intervals": scd2_view_intervals,

@@ -1815,12 +1815,16 @@ class SnapshotTable:
 
         Ordering reuses ``restore``'s convention: tombstones sit at
         ``seq_no = current watermark`` with a synthesized tiebreak above
-        any ASCII event id (strictly increasing across stacked DML
-        commits), so they beat every row already in state but LOSE to the
-        source's next real event — an upstream re-insert after the DELETE
-        wins, which is the correct CDC semantics. Tables without an
-        ``event_id`` tiebreak column use ``watermark+1`` (same documented
-        caveat as restore).
+        any real event id — string tables get a ``\\uffff``-prefixed id
+        (above any ASCII, strictly increasing across stacked DML
+        commits); integral tables get the TYPE'S MAX literal (a hashed
+        tiebreak could be negative and silently lose to a real event for
+        any key whose winner sits exactly at the watermark — the
+        globally-latest key always does) — so they beat every row already
+        in state but LOSE to the source's next real event — an upstream
+        re-insert after the DELETE wins, which is the correct CDC
+        semantics. Tables without an ``event_id`` tiebreak column use
+        ``watermark+1`` (same documented caveat as restore).
 
         Cost: one live read + filter + standard delta commit — O(live) scan
         floor (predicate pushdown and zone maps prune where they can), and
@@ -1837,11 +1841,22 @@ class SnapshotTable:
                  .withColumn(op_col, F.lit("D"))
                  .withColumn(seq_col, F.lit(new_seq).cast("long")))
         if tiebreak_col != seq_col:
-            kh = F.xxhash64(*[F.col(k) for k in self.key_cols])
-            tb = (F.concat(F.lit("\uffff"),
-                           F.lit(f"{self.version + 1:020d}-"),
-                           kh.cast("string"))
-                  if tb_type == "string" else kh.cast(tb_type))
+            int_max = {"bigint": 2**63 - 1, "int": 2**31 - 1,
+                       "smallint": 2**15 - 1, "tinyint": 127}
+            if tb_type == "string":
+                kh = F.xxhash64(*[F.col(k) for k in self.key_cols])
+                tb = F.concat(F.lit("\uffff"),
+                              F.lit(f"{self.version + 1:020d}-"),
+                              kh.cast("string"))
+            elif tb_type in int_max:
+                # all tombstones of one (and any stacked) DML commit share
+                # the max id \u2014 immaterial: winner choice among identical-
+                # key tombstones picks a tombstone either way
+                tb = F.lit(int_max[tb_type]).cast(tb_type)
+            else:  # exotic tiebreak type: bump seq instead (restore's rule)
+                tb = F.col(tiebreak_col)
+                delta = delta.withColumn(
+                    seq_col, F.lit(new_seq + 1).cast("long"))
             delta = delta.withColumn(tiebreak_col, tb)
         if delta.isEmpty():
             return {"deleted": 0, "version": self.version}

@@ -9,6 +9,7 @@ from pathlib import Path
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from omop_meds_spark.table import BUCKET_COL, SnapshotTable, bucket_expr
 
@@ -201,3 +202,30 @@ def test_dml_cli_roundtrip(spark, tmpdir_path, capsys):
     t = SnapshotTable(tbl, KEY_COLS)
     live = t.read_live(spark)
     assert live.filter("repo in ('repo_0','repo_1')").count() == 0
+
+
+def test_delete_numeric_tiebreak_watermark_key(spark, tmpdir_path):
+    """Integral event_id tables: the synthesized tombstone tiebreak must be
+    the TYPE MAX, not a hash — a hashed tiebreak can be negative and
+    silently LOSE to the real event for any key whose winner sits exactly
+    at the watermark (the globally-latest key always does)."""
+    t = SnapshotTable(tmpdir_path, ["user_id"], n_buckets=2)
+    df = spark.createDataFrame(
+        [(1, 10, 7, "U"), (2, 11, 9, "U")],
+        "user_id long, val long, seq_no long, op string",
+    ).withColumn("event_id", (F.col("seq_no") * 1000).cast("long"))
+    t.commit_delta_auto(df.withColumn(
+        BUCKET_COL, bucket_expr(["user_id"], 2)), 0)
+    assert t.watermark() == 9
+    # user 2's winner IS the watermark row — the poison case
+    out = t.delete_where(spark, "user_id = 2")
+    assert out["deleted"] == 1
+    live = {r["user_id"] for r in t.read_live(spark).collect()}
+    assert live == {1}
+    # and the next real event still beats the tombstone
+    t.commit_delta_auto(spark.createDataFrame(
+        [(2, 99, 12, "U", 12000)],
+        "user_id long, val long, seq_no long, op string, event_id long",
+    ).withColumn(BUCKET_COL, bucket_expr(["user_id"], 2)), 1)
+    rows = {(r["user_id"], r["val"]) for r in t.read_live(spark).collect()}
+    assert rows == {(1, 10), (2, 99)}
