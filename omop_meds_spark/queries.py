@@ -869,6 +869,55 @@ def interval_join_sessions(spark, sf_dir):
     return out.select("event_id", "interval_id", "k", "ts", "win_start")
 
 
+def scd2_asof_enrich(spark, sf_dir):
+    """Delete-aware SCD2 dimension enrichment: every fact row picks the
+    dimension version that was LIVE at its timestamp — and a dimension
+    DELETE masks all earlier versions (the fact after a delete sees no
+    dimension at all, not a stale one). This is the read side of a CDC
+    pipeline: the dimension is itself a change log (upserts + tombstones),
+    and enrichment must be point-in-time correct under both.
+
+    Spark-first shape: the dimension log rides through the SAME
+    union + carry-forward window as asof_join (operators/temporal.py) with
+    the tombstone carried as an ordinary payload version — ONE keyed
+    exchange total, no interval materialization, no range join. The
+    tombstone-masking CASE is a post-projection. The relational oracle
+    needs an ASOF join against every version including deletes; engines
+    without tombstone-as-payload pay an interval build first.
+
+    Workload split: even event_ids are the dimension's change log
+    ('error' = tombstone), odd event_ids are facts.
+    """
+    from .operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    # one version per (user_id, ts): latest event_id wins (determinism
+    # contract of asof_join — right side unique per key+time)
+    dim = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id", F.col("ts").alias("dim_ts"))
+        .agg(
+            F.max_by("event_type", "event_id").alias("__type"),
+            F.max_by("value", "event_id").alias("__value"),
+        )
+        .select(
+            "user_id", "dim_ts", "__type", "__value",
+            (F.col("__type") == "error").alias("__del"),
+        )
+    )
+    facts = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts", F.col("value").alias("fact_value")
+    )
+    j = asof_join(facts, dim, ["user_id"], "ts", "dim_ts")
+    live = ~F.coalesce(F.col("__del"), F.lit(True))
+    return j.select(
+        "event_id", "user_id", "ts", "fact_value",
+        F.when(live, F.col("dim_ts")).alias("dim_ts"),
+        F.when(live, F.col("__type")).alias("dim_type"),
+        F.when(live, F.col("__value")).alias("dim_value"),
+    )
+
+
 def subject_splits(spark, sf_dir):
     """split_and_shard_subjects analogue: deterministic hash split of
     distinct subjects into train/tuning/held_out (80/10/10)."""
@@ -1313,6 +1362,51 @@ def price_histogram(spark, sf_dir):
     )
 
 
+def latency_percentiles(spark, sf_dir):
+    """Grouped EXACT percentiles (p50/p90/p99 of value per event type) —
+    the SLO/latency-report aggregate. Exact `percentile` here because the
+    oracle demands bit-comparable answers; at 100 TB the same query ships
+    as `percentile_approx` (t-digest-style mergeable sketch, map-side
+    combined, bounded memory per group) with this exact form as its
+    small-data verifier. One exchange on the 5-value group key."""
+    ev = t(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(*[F.lit(x) for x in (0.5, 0.9, 0.99)]))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            pct.getItem(0).alias("p50"),
+            pct.getItem(1).alias("p90"),
+            pct.getItem(2).alias("p99"),
+        )
+    )
+
+
+def hot_key_report(spark, sf_dir):
+    """Skew diagnostic: top-20 hottest keys with their share of all rows
+    and their skew factor vs the mean key. This is the measurement half
+    of 'skew handled explicitly' — its output decides when to reach for
+    salted_join / the bucketed asof plan. Scale shape: one keyed
+    count aggregate (map-side combined), the grand totals come from a
+    1-row broadcast cross join (NEVER a global unpartitioned window over
+    the keyspace), then a top-k sort on the already-aggregated relation."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.avg("n").alias("__avg")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "user_id", "n",
+            (F.col("n") / F.col("__total")).alias("share"),
+            (F.col("n") / F.col("__avg")).alias("skew"),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").desc())
+        .limit(20)
+    )
+
+
 def event_type_pivot(spark, sf_dir):
     """PIVOT: per-user event counts fanned into one column per event type
     — long-to-wide reshape as CONDITIONAL AGGREGATION over a DECLARED
@@ -1409,6 +1503,7 @@ ALL_QUERIES = {
     "meds_subject_shards": meds_subject_shards,
     "subject_splits": subject_splits,
     "asof_join_latest": asof_join_latest,
+    "scd2_asof_enrich": scd2_asof_enrich,
     "interval_join_sessions": interval_join_sessions,
     "text_features": text_features,
     "text_features_ref": text_features_ref,
@@ -1447,6 +1542,8 @@ ALL_QUERIES = {
     "fuzzy_vocab_match": fuzzy_vocab_match,
     "cube_returns": cube_returns,
     "price_histogram": price_histogram,
+    "latency_percentiles": latency_percentiles,
+    "hot_key_report": hot_key_report,
     "event_type_pivot": event_type_pivot,
     "event_type_unpivot": event_type_unpivot,
     "cohort_retention": cohort_retention,

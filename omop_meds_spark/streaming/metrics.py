@@ -68,6 +68,50 @@ def run_to_memory(spark: SparkSession, wal_dir: str, name: str = "wal_metrics",
     return spark.table(name)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_time: str,
+    right_time: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "30 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    the right events for the same key arriving in ``[left_time,
+    left_time + max_delay]`` — the impression↔click / order↔payment
+    correlation operator, as a genuine two-stream join (both sides are
+    unbounded; neither fits in a static broadcast).
+
+    Bounded state is the whole design: BOTH sides carry a watermark and
+    the join predicate carries an explicit event-time range, which is
+    exactly what lets Spark expire buffered rows — a key+time-bounded
+    join needs only ``O(events per watermark+delay window)`` state per
+    side, while a stream-stream join without the time bound must buffer
+    each side forever (the unbounded-state trap). ``how='left_outer'``
+    additionally emits unmatched left rows, but only once the watermark
+    passes their join window (the row is provably unmatchable); inner
+    rows emit immediately.
+
+    Columns: all left columns + the right side's key-excluded columns
+    (caller pre-projects/renames clashes, same contract as asof_join).
+    The batch twin — the same predicate as a plain join — is asserted
+    equal in tests/test_streaming_metrics.py.
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (lw[k] == rw[k])
+    cond = cond & (rw[right_time] >= lw[left_time]) & (
+        rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {max_delay}")
+    )
+    rvals = [c for c in right.columns if c not in key_cols]
+    out = [lw[c] for c in left.columns] + [rw[c] for c in rvals]
+    return lw.join(rw, cond, how).select(*out)
+
+
 def watermarked_dedup(
     events: DataFrame,
     key_cols: list[str],

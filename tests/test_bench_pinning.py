@@ -51,3 +51,82 @@ def test_pin_self_noop_without_env(monkeypatch):
     before = os.sched_getaffinity(0)
     assert bench._pin_self_from_env() is None
     assert os.sched_getaffinity(0) == before
+
+
+def _bloated_result() -> dict:
+    """A result shaped like a worst-case full capture: 82-query map plus
+    controlled + full_replay + retry blocks with all raw arrays."""
+    import json as _json
+    queries = {f"query_name_number_{i:02d}": 12.345 for i in range(82)}
+    block = {
+        "protocol": "x" * 600,
+        "pair": {"N": 1, "4N": 4},
+        "replays_per_side": 8,
+        "ratio_rows": [
+            {"batch_index": i % 4, "lo_wall_s": 20.0, "hi_wall_s": 6.0,
+             "efficiency": 0.83, "steady": True} for i in range(16)
+        ],
+        "pair_efficiencies": [0.8] * 12,
+        "pair_efficiencies_valid": [0.8] * 11,
+        "clean_gate": 1.25,
+        "floors": {"lo_steady_wall_floor_s": 18.0,
+                   "hi_steady_wall_floor_s": 5.6,
+                   "floor_ratio_efficiency": 0.859},
+        "scaling_efficiency": 0.859,
+        "scaling_efficiency_pair_median": 0.847,
+        "local[1]": {"steady_events_per_s_median": 207768.0,
+                     "steady_events_per_s_best": 215828.2},
+        "local[4]": {"steady_events_per_s_median": 690102.5,
+                     "steady_events_per_s_best": 741612.1},
+        "clock_probe": {"probe_ms_lo_windows": 77.4,
+                        "probe_ms_hi_windows": 78.2,
+                        "clock_ratio_hi_over_lo": 1.01},
+    }
+    result = {
+        "metric": "headline suite wall time (sum) at sf0.1",
+        "value": 18.345,
+        "unit": "sec",
+        "queries": queries,
+        "sf": "0.1",
+        "cdc_replay": {"controlled": _json.loads(_json.dumps(block)),
+                       "full_replay": _json.loads(_json.dumps(block)),
+                       "full_replay_retry": _json.loads(_json.dumps(block))},
+        "cdc_events_per_sec": 741612.1,
+        "scaling_efficiency_controlled": 0.858,
+        "scaling_efficiency_best": 0.883,
+        "scaling_efficiency_full_replay": 0.859,
+        "scaling_efficiency": 0.859,
+    }
+    return result
+
+
+def test_fit_tail_line_under_budget_worst_case():
+    import json as _json
+    line = bench.fit_tail_line(_bloated_result())
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = _json.loads(line)
+    # headline scalars must survive every slimming step
+    for k in ("metric", "value", "unit", "queries", "sf",
+              "scaling_efficiency", "cdc_events_per_sec"):
+        assert k in parsed, k
+    assert parsed["scaling_efficiency"] == 0.859
+
+
+def test_fit_tail_line_small_result_untouched():
+    import json as _json
+    small = {"metric": "m", "value": 1.0, "unit": "sec",
+             "queries": {"q1": 0.5}, "sf": "0.1",
+             "scaling_efficiency": 0.9}
+    line = bench.fit_tail_line(small)
+    assert _json.loads(line) == small
+
+
+def test_fit_tail_line_headline_queries_fit_without_truncation():
+    """The real stdout line carries only the HEADLINE subset — after the
+    replay-tree slimming steps it must fit WITHOUT halving the map."""
+    import json as _json
+    r = _bloated_result()
+    r["queries"] = {name: 1.234 for name in bench.HEADLINE}
+    parsed = _json.loads(bench.fit_tail_line(r))
+    assert "queries_truncated_see" not in parsed
+    assert set(parsed["queries"]) == set(bench.HEADLINE)

@@ -379,3 +379,27 @@ def test_unpivot_adds_no_exchange(spark):
     # aggregate — still exactly one exchange end-to-end
     assert _exchanges(plan) == 1
     assert "Expand" in plan or "Generate" in plan
+
+
+def test_scd2_asof_enrich_no_interval_join(spark):
+    plan = _plan(spark, "scd2_asof_enrich")
+    # dim dedup agg + ONE carry-forward window partition — tombstones ride
+    # the window as payload; never an interval build or a range join
+    assert _exchanges(plan) <= 2
+    assert "NestedLoop" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_latency_percentiles_single_exchange(spark):
+    plan = _plan(spark, "latency_percentiles")
+    assert _exchanges(plan) == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_hot_key_report_broadcast_totals_no_global_window(spark):
+    plan = _plan(spark, "hot_key_report")
+    # per-key agg -> 1-row broadcast totals -> top-k; the grand total must
+    # NOT be a global unpartitioned window over the keyspace
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cross join
+    assert "TakeOrderedAndProject" in plan    # top-k, never a full sort

@@ -79,3 +79,103 @@ def test_watermarked_dedup_collapses_redelivery(spark, tmpdir_path):
         q.stop()
     got = sorted(r.event_id for r in spark.sql("SELECT event_id FROM dedup_out").collect())
     assert got == [i for i, _ in base]  # every event exactly once
+
+
+def test_stream_stream_join_matches_batch_twin(spark, tmpdir_path):
+    """Inner watermarked stream-stream interval join over two parquet
+    streams equals the identical-predicate batch join."""
+    import pandas as pd
+    from omop_meds_spark.streaming.metrics import stream_stream_join
+
+    ldir, rdir = f"{tmpdir_path}/l", f"{tmpdir_path}/r"
+    base = pd.Timestamp("2024-01-01")
+    # left: one "impression" per (user, minute-slot); right: "clicks" that
+    # land 0-15 min later (some outside the 10-min join window)
+    lrows = pd.DataFrame({
+        "imp_id": range(200),
+        "user_id": [i % 20 for i in range(200)],
+        "lts": [base + pd.Timedelta(minutes=7 * i % 600) for i in range(200)],
+    })
+    rrows = pd.DataFrame({
+        "click_id": range(300),
+        "user_id": [(i * 3) % 20 for i in range(300)],
+        "rts": [base + pd.Timedelta(minutes=(7 * (i % 200) % 600) + (i % 16))
+                for i in range(300)],
+    })
+    for df, d, n in ((lrows, ldir, 4), (rrows, rdir, 4)):
+        sdf = spark.createDataFrame(df)
+        sdf.repartition(n).write.parquet(d)
+
+    lschema = spark.read.parquet(ldir).schema
+    rschema = spark.read.parquet(rdir).schema
+    lstream = spark.readStream.schema(lschema).option(
+        "maxFilesPerTrigger", 2).parquet(ldir)
+    rstream = spark.readStream.schema(rschema).option(
+        "maxFilesPerTrigger", 2).parquet(rdir)
+    joined = stream_stream_join(
+        lstream, rstream, ["user_id"], "lts", "rts",
+        max_delay="10 minutes", watermark="5 minutes")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ssj_test").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    got = {tuple(r) for r in
+           spark.table("ssj_test").select("imp_id", "click_id").collect()}
+
+    lb = spark.read.parquet(ldir)
+    rb = spark.read.parquet(rdir)
+    cond = ((lb.user_id == rb.user_id) & (rb.rts >= lb.lts)
+            & (rb.rts <= lb.lts + F.expr("INTERVAL 10 minutes")))
+    want = {tuple(r) for r in
+            lb.join(rb, cond).select("imp_id", "click_id").collect()}
+    assert got == want
+    assert len(want) > 50  # the workload genuinely joins
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmpdir_path):
+    """left_outer: unmatched left rows emit with null right columns once
+    the watermark provably passes their join window (a far-future sentinel
+    on both sides flushes it)."""
+    import pandas as pd
+    from omop_meds_spark.streaming.metrics import stream_stream_join
+
+    ldir, rdir = f"{tmpdir_path}/lo_l", f"{tmpdir_path}/lo_r"
+    base = pd.Timestamp("2024-01-01")
+    far = base + pd.Timedelta(days=30)
+    lrows = pd.DataFrame({
+        "imp_id": [0, 1, 2, 99],
+        "user_id": [1, 2, 3, 999],
+        "lts": [base, base, base, far],
+    })
+    # user 1 clicks inside the window, user 2 outside it, user 3 never
+    rrows = pd.DataFrame({
+        "click_id": [10, 11, 98],
+        "user_id": [1, 2, 999],
+        "rts": [base + pd.Timedelta(minutes=5),
+                base + pd.Timedelta(minutes=50), far],
+    })
+    # two files per side so the sentinel batch ADVANCES the watermark
+    # after the real data's batch
+    spark.createDataFrame(lrows[:3]).coalesce(1).write.parquet(ldir)
+    spark.createDataFrame(lrows[3:]).coalesce(1).write.parquet(ldir, mode="append")
+    spark.createDataFrame(rrows[:2]).coalesce(1).write.parquet(rdir)
+    spark.createDataFrame(rrows[2:]).coalesce(1).write.parquet(rdir, mode="append")
+
+    lschema = spark.read.parquet(ldir).schema
+    rschema = spark.read.parquet(rdir).schema
+    joined = stream_stream_join(
+        spark.readStream.schema(lschema).option("maxFilesPerTrigger", 1).parquet(ldir),
+        spark.readStream.schema(rschema).option("maxFilesPerTrigger", 1).parquet(rdir),
+        ["user_id"], "lts", "rts",
+        max_delay="10 minutes", watermark="1 minute", how="left_outer")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ssj_outer").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    rows = {r["imp_id"]: r["click_id"]
+            for r in spark.table("ssj_outer").collect() if r["imp_id"] != 99}
+    assert rows[0] == 10      # matched inside the window
+    assert rows[1] is None    # click outside the window -> unmatched
+    assert rows[2] is None    # no click at all -> unmatched
