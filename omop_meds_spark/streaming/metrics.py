@@ -112,6 +112,47 @@ def stream_stream_join(
     return lw.join(rw, cond, how).select(*out)
 
 
+def streaming_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "event_time",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via Spark's native merging session window:
+    per-user sessions close after ``gap`` of inactivity, emitting
+    (user, session_start, session_end, n_events) — the unbounded-stream
+    form of the batch ``sessionize`` query (a lag/cumsum window there; a
+    stateful merging window here, because an infinite stream has no "ORDER
+    BY ts" to lag over).
+
+    State is bounded by the watermark: a session's state lives only until
+    the watermark passes its end (start of the gap after its last event),
+    so memory is O(open sessions), never O(stream history). Append mode
+    emits each session exactly once, when it is provably closed — late
+    events inside the watermark still extend/merge their session before
+    emission (session_window merges overlapping windows), which a naive
+    "emit on first gap" fold gets wrong.
+
+    Boundary note vs the batch twin: `session_window` treats an event at
+    exactly ``last + gap`` as a NEW session (half-open interval); the
+    batch query's `> gap` keeps it. Equal only when no inter-event delta
+    is exactly the gap — true of the synthetic WAL and asserted fuzzily in
+    the twin test.
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(time_col), gap).alias("s"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def watermarked_dedup(
     events: DataFrame,
     key_cols: list[str],

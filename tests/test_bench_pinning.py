@@ -130,3 +130,17 @@ def test_fit_tail_line_headline_queries_fit_without_truncation():
     parsed = _json.loads(bench.fit_tail_line(r))
     assert "queries_truncated_see" not in parsed
     assert set(parsed["queries"]) == set(bench.HEADLINE)
+
+
+def test_retry_trigger_fires_on_dirty_full_replay_block():
+    # the observed case: controlled cleared (0.824) but full replay caught
+    # a dirty window (0.779) — must re-sample
+    assert bench.should_retry_full([0.824, 0.779], [0.779])
+    # both blocks under the gate — the original rule
+    assert bench.should_retry_full([0.81, 0.779], [0.779])
+    # full replay clean — no retry regardless of controlled
+    assert not bench.should_retry_full([0.77, 0.84], [0.84])
+    # no blocks at all — nothing to retry
+    assert not bench.should_retry_full([], [])
+    # controlled-only capture that cleared: no full block to re-sample
+    assert not bench.should_retry_full([0.86], [])

@@ -179,3 +179,60 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmpdir_
     assert rows[0] == 10      # matched inside the window
     assert rows[1] is None    # click outside the window -> unmatched
     assert rows[2] is None    # no click at all -> unmatched
+
+
+def test_streaming_sessionize_matches_batch_sessions(spark, tmpdir_path):
+    """Finalized streaming session windows equal the batch lag/cumsum
+    sessionization (same 30-min gap) on sessions the watermark closed."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from omop_meds_spark.streaming.metrics import streaming_sessionize
+
+    d = f"{tmpdir_path}/sess"
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for u in range(8):
+        ts = base + pd.Timedelta(minutes=u)
+        for s in range(4):           # 4 sessions per user
+            for k in range(1 + (u + s) % 3):   # 1-3 events per session
+                rows.append({"event_id": eid, "user_id": u, "ts": ts})
+                eid += 1
+                ts += pd.Timedelta(minutes=5)
+            ts += pd.Timedelta(minutes=45)     # > gap -> new session
+    pdf = pd.DataFrame(rows)
+    # far-future sentinel advances the watermark past every real session
+    sent = pd.DataFrame([{"event_id": eid, "user_id": 999,
+                          "ts": base + pd.Timedelta(days=30)}])
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(d)
+    spark.createDataFrame(sent).coalesce(1).write.parquet(d, mode="append")
+
+    schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(d)
+              .withColumnRenamed("ts", "event_time"))
+    q = (streaming_sessionize(stream, gap="30 minutes", watermark="10 minutes")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("sess_test").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    got = {(r["user_id"], r["session_start"], r["n_events"])
+           for r in spark.table("sess_test").collect() if r["user_id"] != 999}
+
+    # batch twin: lag/cumsum session ids -> per-session (start, count)
+    ev = spark.read.parquet(d).filter(F.col("user_id") != 999)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1)).otherwise(F.lit(0))
+    sess = F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0))
+    want = {(r["user_id"], r["session_start"], r["n_events"])
+            for r in (ev.withColumn("sid", sess)
+                      .groupBy("user_id", "sid")
+                      .agg(F.min("ts").alias("session_start"),
+                           F.count("*").alias("n_events"))
+                      .collect())}
+    assert got == want
+    assert len(want) == 8 * 4
