@@ -1262,9 +1262,11 @@ FROM wide UNPIVOT (n_events FOR metric IN
 """
 
 ORACLES["cohort_retention"] = """
-WITH first AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+WITH first AS (SELECT user_id,
+                      min(date_trunc('day', ts))::TIMESTAMP AS cohort_day
                FROM events GROUP BY user_id),
-act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+act AS (SELECT DISTINCT user_id,
+               date_trunc('day', ts)::TIMESTAMP AS day FROM events)
 SELECT f.cohort_day,
        date_diff('day', f.cohort_day, a.day)::BIGINT AS day_offset,
        COUNT(DISTINCT a.user_id) AS n_users
