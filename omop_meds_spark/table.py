@@ -758,6 +758,47 @@ class SnapshotTable:
             return None
         return spark.createDataFrame(rows, self.FILES_SCHEMA)
 
+    PARTITIONS_SCHEMA = ("bucket int, n_files int, n_generations int, "
+                         "rows long, bytes long")
+
+    def partitions(self, spark: SparkSession, version: int | None = None,
+                   ref: str | None = None) -> DataFrame | None:
+        """Iceberg ``db.table.partitions`` metadata-table analogue: one row
+        per bucket with its live file count, distinct generation count (the
+        compaction-debt signal — ``hot_buckets`` fires off the same number),
+        footer row total, and on-disk bytes. The per-bucket rollup of
+        :meth:`files`, computed from the same driver-side footer scan;
+        row/byte skew across buckets — the thing that decides a
+        ``rebucket`` — reads directly off it. Time-travels like ``read``."""
+        rows = self._file_rows(version, ref)
+        if rows is None:
+            return None
+        agg: dict[int, list] = {}
+        for b, _rel, gen, nrows, nbytes, _rg, _st in rows:
+            a = agg.setdefault(b, [0, set(), 0, 0])
+            a[0] += 1
+            a[1].add(gen)
+            a[2] += nrows
+            a[3] += nbytes
+        out = [(b, a[0], len(a[1]), a[2], a[3]) for b, a in sorted(agg.items())]
+        return spark.createDataFrame(out, self.PARTITIONS_SCHEMA)
+
+    def version_as_of(self, ts: float) -> int | None:
+        """Timestamp time travel (Iceberg ``TIMESTAMP AS OF`` analogue):
+        the largest RETAINED version whose ``committed_at`` <= ``ts``;
+        None when every retained commit is newer (the asked-for instant
+        predates the retention window — vacuum bounds how far back a
+        wall-clock read can reach, exactly like version time travel).
+        Pass the result to ``read(version=...)`` / ``files(version=...)``.
+        Resolution is the commit's publish instant, so a read at ``ts``
+        sees precisely the state a reader at that wall-clock moment saw."""
+        best = None
+        for v, _kind, p in self._log_entries():
+            ca = json.loads(p.read_text()).get("committed_at")
+            if ca is not None and float(ca) <= ts and (best is None or v > best):
+                best = v
+        return best
+
     # ------------------------------------------------------- tags (refs)
     @property
     def _refs_path(self) -> Path:

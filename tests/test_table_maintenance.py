@@ -712,3 +712,59 @@ def test_prepartitioned_commit_matches_default_path(spark, tmpdir_path):
         tb.commit_delta_auto(stale, 1, prepartitioned=True)
     assert tb.version == 0  # nothing published, staging cleaned
     assert _live_rows(spark, tb) == _live_rows(spark, ta)
+
+
+def test_partitions_metadata_table(spark, tmpdir_path):
+    """Iceberg `.partitions` analogue: per-bucket rollup of files() —
+    file count, generation depth (the compaction-debt signal), footer row
+    total, byte total — time-travel consistent."""
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    assert t.partitions(spark) is None                  # empty table
+    for i in range(3):
+        d = _delta(spark, [("r1", "p", i, "U"), (f"r{i}", "q", 10 + i, "U")],
+                   n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+    pre_version = t.latest()["version"]
+    parts = {r["bucket"]: r for r in t.partitions(spark).collect()}
+    files = t.files(spark).collect()
+    for b, r in parts.items():
+        mine = [f for f in files if f["bucket"] == b]
+        assert r["n_files"] == len(mine)
+        assert r["n_generations"] == len({f["generation"] for f in mine})
+        assert r["rows"] == sum(f["rows"] for f in mine)
+        assert r["bytes"] == sum(f["bytes"] for f in mine)
+    # generation depth agrees with the compaction trigger's own count
+    for b in t.hot_buckets(2):
+        assert parts[b]["n_generations"] >= 2
+    t.compact(spark)
+    assert all(r["n_generations"] == 1
+               for r in t.partitions(spark).collect())
+    # time travel resolves the pre-compaction rollup
+    old = {r["bucket"]: r for r in
+           t.partitions(spark, version=pre_version).collect()}
+    assert old == parts
+
+
+def test_version_as_of_timestamp_time_travel(spark, tmpdir_path):
+    """Wall-clock time travel: version_as_of(ts) resolves the state a
+    reader at that instant saw; instants before retention resolve None."""
+    import time as _time
+
+    t = SnapshotTable(tmpdir_path, KEYS, n_buckets=2)
+    t0 = _time.time()
+    assert t.version_as_of(t0) is None                  # nothing committed
+    stamps = []
+    for i in range(3):
+        d = _delta(spark, [("r1", "p", i, "U")], n_buckets=2)
+        t.commit_delta(d, i, _touched(d), i)
+        stamps.append(_time.time())
+        _time.sleep(0.02)
+    # at each recorded instant the resolved version replays exactly the
+    # state that was current then
+    for i, ts in enumerate(stamps):
+        v = t.version_as_of(ts)
+        assert v is not None
+        got = t.read_live(spark, version=v).collect()
+        assert {r["seq_no"] for r in got} == {i}        # LWW winner at t_i
+    assert t.version_as_of(t0) is None                  # predates v0
+    assert t.version_as_of(_time.time()) == t.version   # "now" = head
