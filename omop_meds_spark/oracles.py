@@ -1233,6 +1233,17 @@ FROM c, tot
 ORDER BY c.n DESC, c.user_id DESC LIMIT 20
 """
 
+ORACLES["value_decile_bucketing"] = """
+WITH totals AS (
+  SELECT user_id, sum(value) AS total_value, count(*) AS n_events
+  FROM events GROUP BY 1),
+b AS (SELECT quantile_cont(total_value,
+        [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM totals)
+SELECT t.user_id, t.total_value, t.n_events,
+       1 + len(list_filter(b.bs, x -> t.total_value > x)) AS decile
+FROM totals t, b
+"""
+
 ORACLES["price_histogram"] = """
 SELECT floor(l_extendedprice / 5000.0)::BIGINT AS price_bucket,
        COUNT(*) AS n,

@@ -1407,6 +1407,41 @@ def hot_key_report(spark, sf_dir):
     )
 
 
+def value_decile_bucketing(spark, sf_dir):
+    """Quantile bucketing done scale-safe: per-user lifetime value mapped
+    to its decile. The tempting form — ``ntile(10) OVER (ORDER BY total)``
+    — is a GLOBAL unpartitioned window: the whole keyspace sorts into ONE
+    task, the classic scale-killer. Here the decile boundaries are a
+    1-row exact-percentile aggregate broadcast back over the keyed
+    relation (same shape as hot_key_report's totals), and the bucket is a
+    pure projection counting boundaries below the value — two exchanges
+    total (user agg + 1-row agg), no global sort, no single-task stage.
+    At 100 TB the exact percentile swaps for ``percentile_approx`` with
+    this as its verifier (same trade as latency_percentiles). Boundary
+    semantics: bucket k+1 opens strictly ABOVE boundary b_k, so ties on a
+    boundary fall into the lower bucket in both engines."""
+    ev = t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum("value").alias("total_value"), F.count("*").alias("n_events")
+    )
+    probs = [i / 10 for i in range(1, 10)]
+    bounds = totals.agg(
+        F.percentile(F.col("total_value"),
+                     F.array(*[F.lit(p) for p in probs])).alias("__b")
+    )
+    bucket = (
+        F.aggregate(
+            F.col("__b"),
+            F.lit(1),
+            lambda acc, b: acc + F.when(F.col("total_value") > b, 1).otherwise(0),
+        )
+    ).alias("decile")
+    return (
+        totals.crossJoin(F.broadcast(bounds))
+        .select("user_id", "total_value", "n_events", bucket)
+    )
+
+
 def event_type_pivot(spark, sf_dir):
     """PIVOT: per-user event counts fanned into one column per event type
     — long-to-wide reshape as CONDITIONAL AGGREGATION over a DECLARED
@@ -1544,6 +1579,7 @@ ALL_QUERIES = {
     "price_histogram": price_histogram,
     "latency_percentiles": latency_percentiles,
     "hot_key_report": hot_key_report,
+    "value_decile_bucketing": value_decile_bucketing,
     "event_type_pivot": event_type_pivot,
     "event_type_unpivot": event_type_unpivot,
     "cohort_retention": cohort_retention,

@@ -403,3 +403,13 @@ def test_hot_key_report_broadcast_totals_no_global_window(spark):
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row cross join
     assert "TakeOrderedAndProject" in plan    # top-k, never a full sort
+
+
+def test_value_decile_no_global_sort_or_window(spark):
+    plan = _plan(spark, "value_decile_bucketing")
+    # decile boundaries come from a 1-row broadcast, never a global
+    # unpartitioned ntile window or a full sort
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("SortMergeJoin", "")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _exchanges(plan) <= 2
