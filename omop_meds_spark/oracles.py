@@ -1233,6 +1233,39 @@ FROM c, tot
 ORDER BY c.n DESC, c.user_id DESC LIMIT 20
 """
 
+ORACLES["ivf_index_search"] = """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x::DOUBLE * 10000) AS BIGINT)) AS e
+  FROM embeddings),
+q AS (SELECT e AS qe FROM qz WHERE vec_id = 7),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+  FROM qz WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+dists AS (
+  SELECT z.vec_id, c.cid,
+         list_sum(list_transform(list_zip(z.e, c.ce),
+                  s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+  FROM qz z CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists) WHERE rn = 1),
+probes AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY list_sum(list_transform(list_zip(q.qe, c.ce),
+                    s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cid
+  LIMIT 3)
+SELECT z.vec_id, a.cell::INT AS cell,
+       list_sum(list_transform(list_zip(z.e, q.qe),
+                s -> s[1] * s[2])) AS score
+FROM qz z JOIN assign a USING (vec_id), q
+WHERE a.cell IN (SELECT cid FROM probes)
+ORDER BY score DESC, z.vec_id
+LIMIT 10
+"""
+
 ORACLES["value_decile_bucketing"] = """
 WITH totals AS (
   SELECT user_id, sum(value) AS total_value, count(*) AS n_events

@@ -1407,6 +1407,41 @@ def hot_key_report(spark, sf_dir):
     )
 
 
+def ivf_index_search(spark, sf_dir):
+    """Incrementally-maintained IVF ANN index (operators/vector_index.py):
+    embeddings ingest into a SnapshotTable as two CDC batches (vec_id
+    parity), the codebook freezes after batch 0 (8 smallest even vec_ids
+    — deterministic, so the oracle can re-derive it), the index view
+    folds each commit from the change feed, and the search probes the
+    query's 3 nearest cells only — manifest-pruned candidate read, exact
+    int64 dot scores, (score desc, vec_id) order. The oracle replays the
+    whole pipeline relationally: centroid CTE → argmin assignment →
+    probe-cell filter → scored top-k. Temp tables leak to /tmp for the
+    lazy read (OS-reaped)."""
+    import tempfile
+
+    from .operators.vector_index import IVFIndexView
+    from .table import SnapshotTable
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        F.col("vec_id").alias("seq_no"), F.lit("U").alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="ivf_index_")
+    tbl = SnapshotTable(f"{root}/src", ["vec_id"], n_buckets=8)
+    idx = IVFIndexView(f"{root}/idx", tbl, n_centroids=8)
+    for b in (0, 1):
+        tbl.commit_delta_auto(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == b), b)
+        if b == 0:
+            idx.build(spark)
+        idx.refresh(spark)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]]
+    return idx.search(spark, qvec, k=10, n_probe=3).select(
+        "vec_id", "cell", "score")
+
+
 def value_decile_bucketing(spark, sf_dir):
     """Quantile bucketing done scale-safe: per-user lifetime value mapped
     to its decile. The tempting form — ``ntile(10) OVER (ORDER BY total)``
@@ -1580,6 +1615,7 @@ ALL_QUERIES = {
     "latency_percentiles": latency_percentiles,
     "hot_key_report": hot_key_report,
     "value_decile_bucketing": value_decile_bucketing,
+    "ivf_index_search": ivf_index_search,
     "event_type_pivot": event_type_pivot,
     "event_type_unpivot": event_type_unpivot,
     "cohort_retention": cohort_retention,
