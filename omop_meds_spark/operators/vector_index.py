@@ -140,7 +140,12 @@ class IVFIndexView:
         corpus, reset the cursor by re-bootstrapping the whole index (one
         full re-assignment — the deliberate, paid-for path, never implicit).
         The index table's history is preserved (the re-assignment is an
-        ordinary commit generation)."""
+        ordinary commit generation).
+
+        Pending changes fold FIRST: the re-assignment only asserts the
+        live corpus, so a source delete sitting between the cursor and
+        head would otherwise survive as a stale live index row."""
+        self.refresh(spark)
         self._codebook_path.unlink(missing_ok=True)
         n = self.build(spark)
         live = self.source.read_live(spark)
@@ -188,6 +193,12 @@ class IVFIndexView:
                 F.lit(None).cast("array<long>").alias("e"),
                 F.lit(None).cast("int").alias("cell"),
                 F.lit("D").alias("op")))
+        # seq_no stamps from the INDEX's own monotone batch id, not the
+        # source version: the cursor lives in lineage, and two index
+        # commits can legitimately share a source version (rebuild =
+        # refresh-fold + bootstrap at the same v1) — stamping v1 would tie
+        # their LWW order, and without an event_id tiebreak a tie is
+        # undefined. Index-local batch ids never tie.
         batch_id = max(self.table.committed_batches(), default=-1) + 1
         lineage = {"source_version": v1, "bootstrap": bootstrap}
         if not parts:
@@ -204,7 +215,7 @@ class IVFIndexView:
         import functools
 
         delta = functools.reduce(lambda a, b: a.unionByName(b), parts) \
-            .withColumn("seq_no", F.lit(v1).cast("long"))
+            .withColumn("seq_no", F.lit(batch_id).cast("long"))
         self.table.commit_delta_auto(delta, batch_id, lineage=lineage)
 
     def refresh(self, spark: SparkSession, to_version: int | None = None) -> bool:

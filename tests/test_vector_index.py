@@ -171,3 +171,19 @@ def test_refresh_requires_codebook_and_is_exactly_once(spark, tmpdir_path):
     # replaying the same fold is a no-op commit-wise
     assert idx.refresh(spark, to_version=src.version) is False
     assert idx.table.version == v
+
+
+def test_rebuild_folds_pending_deletes_first(spark, tmpdir_path):
+    """A delete committed after the last refresh must not survive a
+    rebuild as a stale live index row."""
+    src = _mk_source(spark, f"{tmpdir_path}/src")
+    idx = IVFIndexView(f"{tmpdir_path}/idx", src, n_centroids=4)
+    idx.build(spark)
+    idx.refresh(spark)
+    d = _delta(spark, [("r2", "p7", None, 101, "D")])
+    src.commit_delta(d, 1, _touched(d), 101)
+    # no refresh between the delete and the rebuild
+    idx.rebuild(spark)
+    rows_now = _index_rows(spark, idx)
+    assert ("r2", "p7") not in rows_now
+    assert len(rows_now) == 19
