@@ -63,7 +63,15 @@ _CODEBOOK_FILE = "_codebook.json"
 
 def _quantize_py(vec: list[float]) -> list[int]:
     """Driver-side twin of ``similarity.quantized_col`` — floor, not
-    round, so Python and the JVM agree bit-for-bit on every input."""
+    round, so Python and the JVM agree bit-for-bit on every input
+    (round() would split between banker's and half-away conventions;
+    floor is identical everywhere, negatives included).
+
+    >>> _quantize_py([0.5, -0.5, 1.00005, -1.00005])
+    [5000, -5000, 10000, -10001]
+    >>> _quantize_py([])
+    []
+    """
     import math
 
     return [int(math.floor(float(x) * QUANT)) for x in vec]

@@ -37,3 +37,10 @@ def test_verify_doctests():
 def test_multimodal_doctests():
     # the WAV encode/decode helpers are pure Python (struct only)
     _run(multimodal)
+
+
+def test_vector_index_doctests():
+    # the driver-side quantization twin is pure Python — its doctest pins
+    # the floor (not round) convention the JVM parity depends on
+    import omop_meds_spark.operators.vector_index as vector_index
+    _run(vector_index)
