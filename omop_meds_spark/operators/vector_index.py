@@ -81,6 +81,65 @@ def _l2sq_py(a: list[int], b: list[int]) -> int:
     return sum((x - y) * (x - y) for x, y in zip(a, b))
 
 
+def _cents_df(spark: SparkSession, cents: list[list[int]]):
+    """1-row broadcastable codebook frame: cents = array<struct<cid,ce>>."""
+    rows = [(i, [int(x) for x in c]) for i, c in enumerate(cents)]
+    return (
+        spark.createDataFrame(rows, "cid int, ce array<long>")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents"))
+    )
+
+
+def kmeans_codebook(spark: SparkSession, corpus: DataFrame,
+                    key_cols: list[str], emb_col: str = "embedding",
+                    k: int = 8, iters: int = 2) -> list[list[int]]:
+    """Deterministic, cross-engine-exact Lloyd refinement of the first-k
+    seed codebook — the production swap the first-k pick documents.
+
+    Exactness contract (what makes a DuckDB oracle able to replay it):
+
+    * vectors are floor-quantized ints (``similarity.quantized_col``);
+    * assignment is argmin over int l2sq with (dist, cid) tie order —
+      the identical expression the index's plan-side assignment uses;
+    * the centroid update is the coordinate-wise INTEGER floor mean
+      ``sum // count`` (empty cell keeps its centroid), so no float
+      summation order can split the engines;
+    * the iteration count is FIXED (no convergence test), so the oracle
+      is a straight-line CTE chain, one block per iteration.
+
+    Scale shape: per iteration ONE job — broadcast-codebook argmin
+    projection (zero exchange) + posexplode to (cell, pos) and a grouped
+    sum (one shuffle of corpus×d rows, map-side combined to k×d groups);
+    only k×d sums reach the driver. At 100 TB you run this over a
+    deterministic sample (caller pre-filters; the seeds and update rule
+    are sample-content-addressed so the codebook stays reproducible).
+    """
+    from .similarity import _nearest_cells, quantized_col
+
+    qz = corpus.select(*key_cols, quantized_col(emb_col).alias("e"))
+    seeds = qz.orderBy(*key_cols).limit(int(k)).collect()
+    cents = [list(r["e"]) for r in seeds]
+    for _ in range(int(iters)):
+        assigned = (
+            qz.crossJoin(F.broadcast(_cents_df(spark, cents)))
+            .select(
+                F.element_at(_nearest_cells(F.col("e"), F.col("cents"), 1), 1)
+                .cast("int").alias("cell"),
+                F.posexplode("e").alias("pos", "val"),
+            )
+        )
+        stats = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in stats:
+            new[r["cell"]][r["pos"]] = int(r["s"]) // int(r["n"])
+        cents = new
+    return cents
+
+
 class IVFIndexView:
     """See module docstring. ``source`` rows must carry ``emb_col``
     (``array<float/double>``); the index table is keyed by
@@ -109,18 +168,20 @@ class IVFIndexView:
             return None
 
     def _codebook_df(self, spark: SparkSession, cents: list[list[int]]):
-        rows = [(i, [int(x) for x in c]) for i, c in enumerate(cents)]
-        return (
-            spark.createDataFrame(rows, "cid int, ce array<long>")
-            .agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents"))
-        )
+        return _cents_df(spark, cents)
 
-    def build(self, spark: SparkSession) -> int:
+    def build(self, spark: SparkSession, method: str = "first_k",
+              kmeans_iters: int = 2) -> int:
         """Pick the codebook from the CURRENT live corpus and write it
         (atomic publish, same tmp-rename protocol as manifests). Returns
         the number of centroids actually found (a tiny corpus may hold
         fewer than ``n_centroids``). Does NOT index anything — call
-        ``refresh()`` after; the first refresh bootstraps from live state."""
+        ``refresh()`` after; the first refresh bootstraps from live state.
+
+        ``method``: ``"first_k"`` (smallest keys — the cheap deterministic
+        pick) or ``"kmeans"`` (``kmeans_codebook`` — first_k seeds refined
+        by ``kmeans_iters`` integer-exact Lloyd iterations; measurably
+        better cell balance, still relationally replayable)."""
         if self.codebook() is not None:
             raise ValueError(
                 "IVFIndexView.build: codebook already exists — centroids are "
@@ -128,18 +189,26 @@ class IVFIndexView:
         live = self.source.read_live(spark)
         if live is None:
             raise ValueError("IVFIndexView.build: source table is empty")
-        from .similarity import quantized_col
+        if method == "kmeans":
+            cents = kmeans_codebook(spark, live, list(self.source.key_cols),
+                                    self.emb_col, self.n_centroids,
+                                    kmeans_iters)
+        elif method == "first_k":
+            from .similarity import quantized_col
 
-        picks = (
-            live.select(*self.source.key_cols,
-                        quantized_col(self.emb_col).alias("e"))
-            .orderBy(*self.source.key_cols)
-            .limit(self.n_centroids)
-            .collect()
-        )
-        cents = [list(r["e"]) for r in picks]
+            picks = (
+                live.select(*self.source.key_cols,
+                            quantized_col(self.emb_col).alias("e"))
+                .orderBy(*self.source.key_cols)
+                .limit(self.n_centroids)
+                .collect()
+            )
+            cents = [list(r["e"]) for r in picks]
+        else:
+            raise ValueError(f"build: unknown codebook method {method!r}")
         tmp = self._codebook_path.with_name(".tmp." + _CODEBOOK_FILE)
-        tmp.write_text(json.dumps({"format": 1, "centroids": cents}))
+        tmp.write_text(json.dumps(
+            {"format": 1, "method": method, "centroids": cents}))
         tmp.replace(self._codebook_path)
         return len(cents)
 
@@ -154,8 +223,13 @@ class IVFIndexView:
         live corpus, so a source delete sitting between the cursor and
         head would otherwise survive as a stale live index row."""
         self.refresh(spark)
+        try:  # re-pick with the same method the index was built with
+            method = json.loads(self._codebook_path.read_text()).get(
+                "method", "first_k")
+        except (OSError, ValueError):
+            method = "first_k"
         self._codebook_path.unlink(missing_ok=True)
-        n = self.build(spark)
+        n = self.build(spark, method=method)
         live = self.source.read_live(spark)
         self._commit_assignments(spark, live, None,
                                  self.source.version, bootstrap=True)

@@ -1266,6 +1266,74 @@ ORDER BY score DESC, z.vec_id
 LIMIT 10
 """
 
+ORACLES["ivf_kmeans_search"] = """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x::DOUBLE * 10000) AS BIGINT)) AS e
+  FROM embeddings),
+ev AS (SELECT * FROM qz WHERE vec_id % 2 = 0),
+q AS (SELECT e AS qe FROM qz WHERE vec_id = 7),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+  FROM ev ORDER BY vec_id LIMIT 8),
+-- Lloyd iteration 1 over the build-time live corpus (even vec_ids):
+-- argmin assignment (dist, cid tie order), coordinate-wise floor-integer
+-- mean sum//n; empty cells keep their previous centroid via the LEFT JOIN
+a1 AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT z.vec_id, c.cid,
+           row_number() OVER (PARTITION BY z.vec_id ORDER BY
+             list_sum(list_transform(list_zip(z.e, c.ce),
+                      s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cid) AS rn
+    FROM ev z CROSS JOIN c0 c) WHERE rn = 1),
+s1 AS (
+  SELECT a.cell, generate_subscripts(z.e, 1) AS p, unnest(z.e) AS v
+  FROM ev z JOIN a1 a USING (vec_id)),
+m1 AS (
+  SELECT cell AS cid, list(CAST(floor(s::DOUBLE / n) AS BIGINT) ORDER BY p) AS ce
+  FROM (SELECT cell, p, SUM(v) AS s, COUNT(*) AS n FROM s1 GROUP BY cell, p)
+  GROUP BY cell),
+c1 AS (SELECT c0.cid, COALESCE(m1.ce, c0.ce) AS ce
+       FROM c0 LEFT JOIN m1 USING (cid)),
+-- Lloyd iteration 2
+a2 AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT z.vec_id, c.cid,
+           row_number() OVER (PARTITION BY z.vec_id ORDER BY
+             list_sum(list_transform(list_zip(z.e, c.ce),
+                      s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cid) AS rn
+    FROM ev z CROSS JOIN c1 c) WHERE rn = 1),
+s2 AS (
+  SELECT a.cell, generate_subscripts(z.e, 1) AS p, unnest(z.e) AS v
+  FROM ev z JOIN a2 a USING (vec_id)),
+m2 AS (
+  SELECT cell AS cid, list(CAST(floor(s::DOUBLE / n) AS BIGINT) ORDER BY p) AS ce
+  FROM (SELECT cell, p, SUM(v) AS s, COUNT(*) AS n FROM s2 GROUP BY cell, p)
+  GROUP BY cell),
+c2 AS (SELECT c1.cid, COALESCE(m2.ce, c1.ce) AS ce
+       FROM c1 LEFT JOIN m2 USING (cid)),
+-- frozen codebook = c2: assign ALL vectors, probe 3 cells, score top-10
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT z.vec_id, c.cid,
+           row_number() OVER (PARTITION BY z.vec_id ORDER BY
+             list_sum(list_transform(list_zip(z.e, c.ce),
+                      s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cid) AS rn
+    FROM qz z CROSS JOIN c2 c) WHERE rn = 1),
+probes AS (
+  SELECT c.cid FROM c2 c, q
+  ORDER BY list_sum(list_transform(list_zip(q.qe, c.ce),
+                    s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cid
+  LIMIT 3)
+SELECT z.vec_id, a.cell::INT AS cell,
+       list_sum(list_transform(list_zip(z.e, q.qe),
+                s -> s[1] * s[2])) AS score
+FROM qz z JOIN assign a USING (vec_id), q
+WHERE a.cell IN (SELECT cid FROM probes)
+ORDER BY score DESC, z.vec_id
+LIMIT 10
+"""
+
 ORACLES["value_decile_bucketing"] = """
 WITH totals AS (
   SELECT user_id, sum(value) AS total_value, count(*) AS n_events

@@ -1442,6 +1442,42 @@ def ivf_index_search(spark, sf_dir):
         "vec_id", "cell", "score")
 
 
+def ivf_kmeans_search(spark, sf_dir):
+    """`ivf_index_search`'s sibling with the PRODUCTION codebook: the
+    first-k seed pick refined by 2 integer-exact Lloyd iterations
+    (`vector_index.kmeans_codebook`) over the live corpus at build time.
+    Same CDC shape — batch 0 (even vec_ids) commits, the codebook freezes
+    (k-means over the batch-0 live corpus), batch 1 folds through the
+    change feed against the FROZEN codebook — so the query also pins the
+    frozen-codebook contract under a trained codebook. The oracle replays
+    the seeds, both Lloyd iterations (argmin assignment + coordinate-wise
+    floor-integer mean, empty cells keep their centroid), the final
+    assignment of ALL vectors, probe-cell pick, and top-k scoring, as a
+    straight-line CTE chain. Temp tables leak to /tmp (OS-reaped)."""
+    import tempfile
+
+    from .operators.vector_index import IVFIndexView
+    from .table import SnapshotTable
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        F.col("vec_id").alias("seq_no"), F.lit("U").alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="ivf_kmeans_")
+    tbl = SnapshotTable(f"{root}/src", ["vec_id"], n_buckets=8)
+    idx = IVFIndexView(f"{root}/idx", tbl, n_centroids=8)
+    for b in (0, 1):
+        tbl.commit_delta_auto(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == b), b)
+        if b == 0:
+            idx.build(spark, method="kmeans", kmeans_iters=2)
+        idx.refresh(spark)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]]
+    return idx.search(spark, qvec, k=10, n_probe=3).select(
+        "vec_id", "cell", "score")
+
+
 def value_decile_bucketing(spark, sf_dir):
     """Quantile bucketing done scale-safe: per-user lifetime value mapped
     to its decile. The tempting form — ``ntile(10) OVER (ORDER BY total)``
@@ -1561,6 +1597,7 @@ ALL_QUERIES = {
     "hot_key_report": hot_key_report,
     "value_decile_bucketing": value_decile_bucketing,
     "ivf_index_search": ivf_index_search,
+    "ivf_kmeans_search": ivf_kmeans_search,
     "event_type_pivot": event_type_pivot,
     "event_type_unpivot": event_type_unpivot,
     "cohort_retention": cohort_retention,
@@ -1590,8 +1627,8 @@ ALL_QUERIES = {
     "asof_join_latest": asof_join_latest,
     "text_features": text_features,
     "meds_event_explosion": meds_event_explosion,
-    "windowed_event_counts": windowed_event_counts,
     # --- driver-green in round 4 (code unchanged) ---
+    "windowed_event_counts": windowed_event_counts,
     "scd2_history": scd2_history,
     "scd2_change_only": scd2_change_only,
     "semi_join_cohort": semi_join_cohort,

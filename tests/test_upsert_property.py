@@ -148,3 +148,58 @@ def test_lww_variants_agree(spark, log):
     window = {tuple(r) for r in
               last_writer_wins_window(df, ["repo", "path"]).select(*cols).collect()}
     assert base == salted == window
+
+
+def test_lww_seeded_100_ordering_sweep(spark):
+    """Round-3 ask, closed to the letter: >=100 seeded permutations AND
+    batch-splits of one dense log, every case replayed through the real
+    kernel (last_writer_wins + merge_state fold) and checked against
+    `_oracle_live`. All cases are batched into a HANDFUL of Spark jobs by
+    tagging rows with case_id and folding per (case_id, repo, path):
+    B sub-batch unions -> B kernel calls + (B-1) merges + 1 collect,
+    instead of 100x that.  Half the cases also exercise at-least-once
+    redelivery (byte-identical duplicate copies injected pre-shuffle)."""
+    import random
+
+    rng = random.Random(20260821)
+    # one dense log: 3x3 keys, seq 0..7 (tie-dense), tombstone chains
+    log = []
+    for i in range(24):
+        seq = rng.randrange(8)
+        eid = f"e{i:03d}"
+        op = rng.choice(["I", "U", "U", "D"])
+        repo, path = f"r{rng.randrange(3)}", f"p{rng.randrange(3)}"
+        content = None if op == "D" else rng.choice(["a", "bb", "ccc", ""])
+        log.append((seq, eid, op, repo, path, content))
+    expected = _oracle_live(log)
+
+    n_cases, n_sub = 120, 3
+    slices: list[list[list]] = [[] for _ in range(n_sub)]  # rows per sub-batch
+    for case in range(n_cases):
+        stream = list(log)
+        if case % 2:  # redelivery: duplicate a seeded subset, bytes identical
+            k = rng.randrange(1, len(log))
+            stream += rng.sample(log, k)
+        rng.shuffle(stream)
+        # exactly n_sub contiguous cuts (possibly empty slices)
+        cuts = sorted(rng.randrange(len(stream) + 1) for _ in range(n_sub - 1))
+        bounds = [0, *cuts, len(stream)]
+        for b, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            slices[b].extend((case, *ev) for ev in stream[lo:hi])
+
+    schema = "case_id int, " + SCHEMA
+    keys = ["case_id", "repo", "path"]
+    state = None
+    for rows in slices:
+        if not rows:
+            continue
+        winners = last_writer_wins(
+            spark.createDataFrame(rows, schema), keys)
+        state = merge_state(state, winners, keys)
+    live = (state.filter(F.col("op") != "D")
+            .select("case_id", "repo", "path", "content", "seq_no").collect())
+    by_case: dict[int, set] = {c: set() for c in range(n_cases)}
+    for r in live:
+        by_case[r.case_id].add((r.repo, r.path, r.content, r.seq_no))
+    for case in range(n_cases):
+        assert by_case[case] == expected, f"case {case} diverged"
