@@ -11,10 +11,14 @@ this container:
   plumbing is exercised end-to-end with verifiable outputs.
 * ``decode_stub=False`` REALLY decodes the audio and image modalities:
   RIFF/WAVE 16-bit-PCM payloads are parsed with a pure-Python chunk
-  walker (:func:`_wav_decode`) and PPM/P6 images with a pure-Python
-  netpbm header tokenizer (:func:`_ppm_decode`) — no external libs —
-  exercised by the ``wav_decode_real`` / ``ppm_decode_real`` queries
-  against exact DuckDB oracles. Video payloads still raise
+  walker (:func:`_wav_decode`), PPM/P6 images with a pure-Python netpbm
+  header tokenizer (:func:`_ppm_decode`), and PNG — a genuinely
+  COMPRESSED format — with a from-scratch RFC 1950/1951/2083 stack
+  (``operators/png.py``: own DEFLATE inflate for stored, fixed- and
+  dynamic-Huffman blocks; chunk CRCs; all five scanline filters) — no
+  external libs, no stdlib decompressor — exercised by the
+  ``wav_decode_real`` / ``ppm_decode_real`` / ``png_decode_real``
+  queries against exact DuckDB oracles. Video payloads still raise
   ``NotImplementedError`` naming the real implementation point
   (imageio/libav inside the same ``mapInPandas`` body — per-batch,
   vectorized, identical schema).
@@ -85,8 +89,19 @@ WAV_SCHEMA = StructType(
 _STUB_NOTE = (
     "real video decoder not available in this container — plug "
     "imageio/libav here, same mapInPandas body, same output schema "
-    "(audio/wav and image/ppm already have real pure-Python paths: "
-    "_wav_decode / _ppm_decode)"
+    "(audio/wav, image/ppm and image/png already have real pure-Python "
+    "paths: _wav_decode / _ppm_decode / png._png_decode)"
+)
+
+PNG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bit_depth", LongType()),
+        StructField("checksum", LongType()),
+        StructField("max_px", LongType()),
+    ]
 )
 
 PPM_SCHEMA = StructType(
@@ -365,6 +380,62 @@ def ppm_from_documents(docs: DataFrame) -> DataFrame:
     ascii_text = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "?")
     src = docs.select(F.col("doc_id").cast("long"), ascii_text.alias("text"))
     return src.mapInPandas(body, MEDIA_SCHEMA)
+
+
+def png_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG payloads from the documents table: 8-bit
+    grayscale, one pixel per ascii-safe character (``gray = ord(c)``),
+    width = text length × height 1, scanline filter type = ``doc_id % 5``
+    — so across the corpus every PNG filter (None/Sub/Up/Average/Paeth)
+    is exercised and the decoder must unfilter correctly for the
+    content-derived aggregates to match. The zlib/DEFLATE compression is
+    genuine (stdlib encode side); the DECODE side is the from-scratch
+    inflate in ``operators/png.py``. Like the WAV/PPM twins, the pixel
+    mapping is simple enough that a SQL oracle recomputes the decoded
+    aggregates straight from the text."""
+    from .png import _png_encode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _png_encode(t.encode("ascii"), len(t), 1, int(i) % 5)
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pd.Series(["image/png"] * len(pdf), dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    ascii_text = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "?")
+    src = docs.select(F.col("doc_id").cast("long"), ascii_text.alias("text"))
+    return src.mapInPandas(body, MEDIA_SCHEMA)
+
+
+def decode_png(df: DataFrame) -> DataFrame:
+    """REAL compressed-image decode over (media_id, payload): parse each
+    PNG with :func:`png._png_decode` — chunk CRCs, from-scratch DEFLATE,
+    scanline unfiltering — and emit numeric metadata. Same bounded-memory
+    iterator ``mapInPandas`` shape as every other decoder here."""
+    from .png import _png_decode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_png_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.Series([r["width"] for r in rows], dtype="int64"),
+                    "height": pd.Series([r["height"] for r in rows], dtype="int64"),
+                    "bit_depth": pd.Series([r["bit_depth"] for r in rows], dtype="int64"),
+                    "checksum": pd.Series([r["checksum"] for r in rows], dtype="int64"),
+                    "max_px": pd.Series([r["max_px"] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(body, PNG_SCHEMA)
 
 
 def decode_ppm(df: DataFrame) -> DataFrame:

@@ -996,6 +996,22 @@ SELECT media_id, width, 1::BIGINT AS height, 255::BIGINT AS maxval,
 FROM cx
 """
 
+ORACLES["png_decode_real"] = r"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS media_id,
+         regexp_replace(text, '[^\x20-\x7E]', '?', 'g') AS s
+  FROM documents),
+cx AS (
+  SELECT media_id, length(s)::BIGINT AS width,
+         list_transform(range(1, length(s) + 1),
+                        i -> ascii(substr(s, i, 1))) AS codes
+  FROM t)
+SELECT media_id, width, 1::BIGINT AS height, 8::BIGINT AS bit_depth,
+       COALESCE(list_aggregate(codes, 'sum'), 0)::BIGINT AS checksum,
+       COALESCE(list_aggregate(codes, 'max'), 0)::BIGINT AS max_px
+FROM cx
+"""
+
 ORACLES["wav_decode_real"] = rf"""
 WITH t AS (
   SELECT doc_id::BIGINT AS media_id,

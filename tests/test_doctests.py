@@ -12,6 +12,7 @@ import doctest
 
 import omop_meds_spark.event_config as event_config
 import omop_meds_spark.operators.multimodal as multimodal
+import omop_meds_spark.operators.png as png
 import omop_meds_spark.table as table
 import omop_meds_spark.verify as verify
 
@@ -44,3 +45,8 @@ def test_vector_index_doctests():
     # the floor (not round) convention the JVM parity depends on
     import omop_meds_spark.operators.vector_index as vector_index
     _run(vector_index)
+
+
+def test_png_doctests():
+    # the full PNG stack (inflate included) is pure Python
+    _run(png)

@@ -196,3 +196,87 @@ def test_sample_frames_shape(docs):
     w0 = "hello world\nsecond line here".encode()[0:8]
     f0 = min(per_id[0], key=lambda r: r["frame_idx"])
     assert f0["frame_sha256"] == hashlib.sha256(w0).hexdigest()
+
+
+def test_png_inflate_all_deflate_block_types():
+    """The from-scratch DEFLATE decoder handles every RFC 1951 block
+    type: stored (level 0), dynamic Huffman (level 6/9 on structured
+    data), and a HAND-ASSEMBLED fixed-Huffman block (zlib rarely emits
+    btype=1, so it is constructed bit-by-bit here)."""
+    import zlib
+
+    from omop_meds_spark.operators.png import _inflate
+
+    cases = [b"", b"a", b"abc" * 500, bytes(range(256)) * 8,
+             bytes([1]) * 10_000]
+    for lvl in (0, 1, 6, 9):
+        for c in cases:
+            assert _inflate(zlib.compress(c, lvl)[2:-4]) == c
+
+    bits: list[int] = []
+
+    def lsb(v, n):  # header fields: LSB-first
+        bits.extend((v >> i) & 1 for i in range(n))
+
+    def code(v, n):  # Huffman codes: MSB-first
+        bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+
+    lsb(1, 1)  # final
+    lsb(1, 2)  # btype=1 fixed
+    for ch in b"FIXED!":
+        code(0x30 + ch, 8)  # literals 0-143: 8-bit codes from 0x30
+    code(0, 7)  # end-of-block
+    buf = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        buf[i >> 3] |= b << (i & 7)
+    assert _inflate(bytes(buf)) == b"FIXED!"
+
+
+def test_png_round_trip_every_filter_type():
+    """Multi-row images so Up/Average/Paeth see a real prior scanline;
+    decoded aggregates must be filter-independent (unfiltering exact)."""
+    from omop_meds_spark.operators.png import _png_decode, _png_encode
+
+    px = bytes((i * 37 + 11) % 256 for i in range(12 * 5))
+    for f in range(5):
+        d = _png_decode(_png_encode(px, 12, 5, f))
+        assert (d["width"], d["height"], d["bit_depth"], d["checksum"],
+                d["max_px"]) == (12, 5, 8, sum(px), max(px))
+
+
+def test_png_decode_rejects_malformed():
+    import pytest
+
+    from omop_meds_spark.operators.png import _png_decode, _png_encode
+
+    good = _png_encode(bytes(16), 16, 1, 2)
+    with pytest.raises(ValueError, match="signature"):
+        _png_decode(b"\x89PNX" + good[4:])
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF  # corrupt IHDR payload under its CRC
+    with pytest.raises(ValueError, match="CRC"):
+        _png_decode(bytes(bad_crc))
+    with pytest.raises(ValueError, match="truncated"):
+        _png_decode(good[:-6])
+
+
+def test_png_decode_real_spark_path(docs):
+    """End-to-end through mapInPandas: every document decodes to its
+    text-derived aggregates, filters varying by doc_id."""
+    from omop_meds_spark.operators.multimodal import (
+        decode_png,
+        png_from_documents,
+    )
+
+    out = {r["media_id"]: r for r in
+           decode_png(png_from_documents(docs)).collect()}
+    want = {r["doc_id"]: "".join(c if " " <= c <= "~" else "?"
+                                 for c in r["text"])
+            for r in docs.select("doc_id", "text").collect()}
+    assert set(out) == set(want)
+    for mid, s in want.items():
+        r = out[mid]
+        codes = [ord(c) for c in s]
+        assert (r["width"], r["height"], r["bit_depth"]) == (len(s), 1, 8)
+        assert r["checksum"] == sum(codes)
+        assert r["max_px"] == (max(codes) if codes else 0)
