@@ -237,10 +237,11 @@ def _ppm_decode(b: bytes) -> dict:
 def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """binary payload → typed metadata row, one per media item.
 
-    With ``decode_stub=False``, RIFF/WAVE payloads take the REAL decode
-    path (``width``/``height`` carry ``n_samples``/``sample_rate`` — the
-    generic dimension slots of the shared schema, documented here); other
-    media types raise until a real image/video decoder is plugged in."""
+    With ``decode_stub=False``, RIFF/WAVE, PPM/P6 and PNG payloads take
+    their REAL decode paths (for WAV, ``width``/``height`` carry
+    ``n_samples``/``sample_rate`` — the generic dimension slots of the
+    shared schema, documented here); other media types raise until a real
+    video decoder is plugged in."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -254,6 +255,11 @@ def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                     dims.append((d["n_samples"], d["sample_rate"]))
                 elif b[:2] == b"P6":
                     d = _ppm_decode(b)
+                    dims.append((d["width"], d["height"]))
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    from .png import _png_decode
+
+                    d = _png_decode(b)
                     dims.append((d["width"], d["height"]))
                 else:
                     raise NotImplementedError(_STUB_NOTE)
