@@ -144,3 +144,24 @@ def test_retry_trigger_fires_on_dirty_full_replay_block():
     assert not bench.should_retry_full([], [])
     # controlled-only capture that cleared: no full block to re-sample
     assert not bench.should_retry_full([0.86], [])
+
+
+def test_fit_tail_line_survives_controlled_retry_block():
+    """Round 5 adds a symmetric controlled-block retry; a capture carrying
+    FOUR replay blocks (controlled + its retry + full + its retry) must
+    still slim under the driver's tail cap with headline scalars intact."""
+    import json as _json
+
+    r = _bloated_result()
+    r["cdc_replay"]["controlled_retry"] = _json.loads(
+        _json.dumps(r["cdc_replay"]["controlled"]))
+    r["cdc_replay"]["controlled_retry"]["trials"] = [
+        {"cores": 1, "wall_s": 30.0, "n_events": 6000000,
+         "events_per_s": 200000.0} for _ in range(14)
+    ]
+    line = bench.fit_tail_line(r)
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = _json.loads(line)
+    for k in ("metric", "value", "unit", "queries",
+              "scaling_efficiency", "scaling_efficiency_controlled"):
+        assert k in parsed, k
