@@ -5,13 +5,13 @@
 training-data-pipeline ops); implementations in
 ``omop_meds_spark/queries.py``.
 ``oracle_sql()`` — exact DuckDB twins in ``omop_meds_spark/oracles.py``:
-EVERY query has one (89/89; zero rows-only entries — the LSH-ANN bucket
+EVERY query has one (91/91; zero rows-only entries — the LSH-ANN bucket
 math, byte-window frame hashing, and quantized-cosine scoring are all
 expressed exactly in SQL).
 
 The driver's per-round gate samples the FIRST 50 ``queries()`` entries;
 ``ALL_QUERIES`` is ordered by evidence debt (see the comment at its
-definition) and ``python tools/parity_check.py`` is the full-89 local gate.
+definition) and ``python tools/parity_check.py`` is the full-91 local gate.
 """
 
 from __future__ import annotations

@@ -1012,6 +1012,41 @@ SELECT media_id, width, 1::BIGINT AS height, 8::BIGINT AS bit_depth,
 FROM cx
 """
 
+ORACLES["gif_decode_real"] = r"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS media_id,
+         regexp_replace(text, '[^\x20-\x7E]', '?', 'g') AS s
+  FROM documents),
+cx AS (
+  SELECT media_id, length(s)::BIGINT AS width,
+         (1 + media_id % 3)::BIGINT AS nf,
+         list_transform(range(1, length(s) + 1),
+                        i -> ascii(substr(s, i, 1))) AS codes
+  FROM t)
+SELECT media_id, width, 1::BIGINT AS height, nf AS n_frames,
+       (nf * COALESCE(list_aggregate(codes, 'sum'), 0)
+        - width * (nf * (nf - 1) // 2))::BIGINT AS checksum,
+       COALESCE(list_aggregate(codes, 'max'), 0)::BIGINT AS max_px
+FROM cx
+"""
+
+ORACLES["gif_frames_real"] = r"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS media_id,
+         regexp_replace(text, '[^\x20-\x7E]', '?', 'g') AS s
+  FROM documents),
+cx AS (
+  SELECT media_id, length(s)::BIGINT AS width,
+         (1 + media_id % 3)::BIGINT AS nf,
+         list_transform(range(1, length(s) + 1),
+                        i -> ascii(substr(s, i, 1))) AS codes
+  FROM t)
+SELECT media_id, k.range::BIGINT AS frame_idx, width AS n_pixels,
+       (COALESCE(list_aggregate(codes, 'sum'), 0)
+        - k.range * width)::BIGINT AS frame_checksum
+FROM cx JOIN range(3) k ON k.range < cx.nf
+"""
+
 ORACLES["wav_decode_real"] = rf"""
 WITH t AS (
   SELECT doc_id::BIGINT AS media_id,

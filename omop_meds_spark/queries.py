@@ -1232,6 +1232,33 @@ def png_decode_real(spark, sf_dir):
     return decode_png(png_from_documents(docs))
 
 
+def gif_decode_real(spark, sf_dir):
+    """REAL multi-frame compressed decode (the video analogue): build
+    GIF87a payloads from document text (1 + doc_id % 3 grayscale frames,
+    frame k pixel = ascii - k, genuine LZW compression), then parse them
+    back with the from-scratch decoder in ``operators/gif.py`` —
+    sub-block walk, variable-width LZW with dictionary growth to 12 bits
+    and CLEAR handling, per-frame pixel validation. The DuckDB oracle
+    recomputes every decoded aggregate straight from the text."""
+    from .operators.multimodal import decode_gif, gif_from_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return decode_gif(gif_from_documents(docs))
+
+
+def gif_frames_real(spark, sf_dir):
+    """REAL frame extraction — the frame-sampling stub's promised real
+    path: each document's multi-frame GIF is decoded and EXPLODED to one
+    row per frame (0..n rows per input through iterator ``mapInPandas``),
+    with per-frame numeric aggregates. The oracle rebuilds the frame
+    explosion relationally: range-join on the per-doc frame count, frame
+    checksum = sum(ascii) - k * length."""
+    from .operators.multimodal import gif_frames, gif_from_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return gif_frames(gif_from_documents(docs))
+
+
 # ================================================================ similarity
 def embedding_topk(spark, sf_dir):
     """Brute-force ANN baseline: exact top-5 by quantized dot product."""
@@ -1587,11 +1614,11 @@ ALL_QUERIES = {
     # ORDERING IS LOAD-BEARING: the per-round driver correctness gate
     # samples only the FIRST 50 entries (observed in CORRECTNESS_r01-r04;
     # documented in COVERAGE.md).  Entries are therefore ordered by
-    # evidence debt, not by theme: first the 25 queries that have never
+    # evidence debt, not by theme: first the 27 queries that have never
     # had a driver-green row (every round-4/5 addition), then the 14 whose
-    # last driver-green row is round 3, then 11 flagship anchors so the
+    # last driver-green row is round 3, then 9 flagship anchors so the
     # core CDC/TPCH surface keeps a fresh row each round.  The remaining
-    # 39 were all driver-green in round 4 with unchanged code.
+    # 41 were all driver-green in round 4 with unchanged code.
     # `python tools/parity_check.py` remains the full-87 local gate.
     "pii_pseudonymize": pii_pseudonymize,
     "ngram_decontaminate": ngram_decontaminate,
@@ -1601,6 +1628,8 @@ ALL_QUERIES = {
     "wav_decode_real": wav_decode_real,
     "ppm_decode_real": ppm_decode_real,
     "png_decode_real": png_decode_real,
+    "gif_decode_real": gif_decode_real,
+    "gif_frames_real": gif_frames_real,
     "ann_ivf_topk": ann_ivf_topk,
     "near_dup_clusters": near_dup_clusters,
     "stratified_sample": stratified_sample,
@@ -1641,9 +1670,9 @@ ALL_QUERIES = {
     "merge_into_docs": merge_into_docs,
     "dedup_earliest": dedup_earliest,
     "sessionize": sessionize,
+    # --- driver-green in round 4 (code unchanged) ---
     "asof_join_latest": asof_join_latest,
     "text_features": text_features,
-    # --- driver-green in round 4 (code unchanged) ---
     "meds_event_explosion": meds_event_explosion,
     "windowed_event_counts": windowed_event_counts,
     "scd2_history": scd2_history,

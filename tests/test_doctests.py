@@ -12,6 +12,7 @@ import doctest
 
 import omop_meds_spark.event_config as event_config
 import omop_meds_spark.operators.multimodal as multimodal
+import omop_meds_spark.operators.gif as gif
 import omop_meds_spark.operators.png as png
 import omop_meds_spark.table as table
 import omop_meds_spark.verify as verify
@@ -50,3 +51,8 @@ def test_vector_index_doctests():
 def test_png_doctests():
     # the full PNG stack (inflate included) is pure Python
     _run(png)
+
+
+def test_gif_doctests():
+    # the GIF stack (LZW included) is pure Python
+    _run(gif)

@@ -280,3 +280,89 @@ def test_png_decode_real_spark_path(docs):
         assert (r["width"], r["height"], r["bit_depth"]) == (len(s), 1, 8)
         assert r["checksum"] == sum(codes)
         assert r["max_px"] == (max(codes) if codes else 0)
+
+
+def test_gif_lzw_all_regimes():
+    """From-scratch GIF LZW: round trips across code widths (mcs 2/4/8),
+    dictionary growth through every width bump to 12 bits, forced CLEAR on
+    a full table, the KwKwK code, and empty input."""
+    import random
+
+    from omop_meds_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    rng = random.Random(11)
+    cases = [b"", b"a", b"ab" * 4000,
+             bytes(rng.randrange(256) for _ in range(20_000)),  # full table
+             bytes([7]) * 30_000,                               # KwKwK chains
+             b"TOBEORNOTTOBEORTOBEORNOT" * 200]
+    for mcs in (2, 4, 8):
+        for c in cases:
+            cc = bytes(x % (1 << mcs) for x in c) if mcs < 8 else c
+            assert _lzw_decode(_lzw_encode(cc, mcs), mcs) == cc
+
+
+def test_gif_multi_frame_round_trip_and_89a_extensions():
+    from omop_meds_spark.operators.gif import _gif_decode, _gif_encode
+
+    frames = [bytes((i * 13 + f * 7) % 256 for i in range(300 * 2))
+              for f in range(4)]
+    d = _gif_decode(_gif_encode(frames, 300, 2))
+    assert d["n_frames"] == 4 and d["frames"] == frames
+    assert d["checksum"] == sum(sum(f) for f in frames)
+
+    # GIF89a-style extension blocks must be skipped, not fatal
+    b = bytearray(_gif_encode([bytes([1, 2, 3, 4])], 4, 1))
+    ins = 13 + 768  # after the global palette
+    b2 = bytes(b[:ins]) + b"\x21\xF9\x04\x00\x00\x00\x00\x00" + bytes(b[ins:])
+    assert _gif_decode(b2)["checksum"] == 10
+
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        _gif_decode(bytes(b)[:-2])
+    with pytest.raises(ValueError, match="signature"):
+        _gif_decode(b"GIF00a" + bytes(b)[6:])
+
+
+def test_gif_frames_real_spark_path(docs):
+    """Frame explosion end-to-end: n_frames = 1 + doc_id % 3, frame k
+    checksum = sum(ascii) - k*len — checked per decoded frame row."""
+    from omop_meds_spark.operators.multimodal import (
+        gif_frames,
+        gif_from_documents,
+    )
+
+    rows = gif_frames(gif_from_documents(docs)).collect()
+    want = {r["doc_id"]: "".join(c if " " <= c <= "~" else "?"
+                                 for c in r["text"])
+            for r in docs.select("doc_id", "text").collect()}
+    seen: dict[int, int] = {}
+    for r in rows:
+        s = want[r["media_id"]]
+        assert r["n_pixels"] == len(s)
+        assert r["frame_checksum"] == sum(ord(c) for c in s) - r["frame_idx"] * len(s)
+        seen[r["media_id"]] = max(seen.get(r["media_id"], 0), r["frame_idx"] + 1)
+    for mid, nf in seen.items():
+        assert nf == 1 + mid % 3
+
+
+def test_sample_frames_real_gif_path(docs):
+    """sample_frames(decode_stub=False) on GIF payloads digests DECODED
+    frame pixels (not byte windows) — pinned against a Python model."""
+    import hashlib
+
+    from omop_meds_spark.operators.gif import _gif_decode
+    from omop_meds_spark.operators.multimodal import (
+        gif_from_documents,
+        sample_frames,
+    )
+
+    media = gif_from_documents(docs)
+    got = {(r["media_id"], r["frame_idx"]): r["frame_sha256"]
+           for r in sample_frames(media, decode_stub=False, max_frames=2).collect()}
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    want = {}
+    for mid, p in payloads.items():
+        for k, f in enumerate(_gif_decode(p)["frames"][:2]):
+            want[(mid, k)] = hashlib.sha256(f).hexdigest()
+    assert got == want
