@@ -542,6 +542,7 @@ def run_scaling(
     max_replays: int = 6,    # 3-batch replays: 6 replays = 12 steady pairs
     budget_s: float = 1500.0,
     clean_gate: float = 1.25,
+    sim_block: bool = True,  # retry blocks skip the simultaneous diagnostic
 ) -> dict:
     """Full-replay N→4N evidence: the whole WAL replayed end-to-end at
     local[N] and local[4N], one warm JVM per side (see
@@ -721,23 +722,24 @@ def run_scaling(
             procs[c].stdin.flush()
             return readline(procs[c])
 
-        sim = {lo_c: [], hi_c: []}
-        k = 0
-        while True:
-            with _TPE(2) as tp:
-                flo = tp.submit(step_raw, lo_c)
-                fhi = tp.submit(step_raw, hi_c)
-                blo, bhi = flo.result(), fhi.result()
-            sim[lo_c].append(blo)
-            sim[hi_c].append(bhi)
-            k += 1
-            if k >= (n_batches or 1):
-                break
-        sim_effs = [
-            round((a["wall_s"] / b["wall_s"]) / (hi_c / lo_c), 3)
-            for a, b in zip(sim[lo_c], sim[hi_c])
-            if a["batch_index"] == b["batch_index"] and a["batch_index"] >= 1
-        ]
+        if sim_block:
+            sim = {lo_c: [], hi_c: []}
+            k = 0
+            while True:
+                with _TPE(2) as tp:
+                    flo = tp.submit(step_raw, lo_c)
+                    fhi = tp.submit(step_raw, hi_c)
+                    blo, bhi = flo.result(), fhi.result()
+                sim[lo_c].append(blo)
+                sim[hi_c].append(bhi)
+                k += 1
+                if k >= (n_batches or 1):
+                    break
+            sim_effs = [
+                round((a["wall_s"] / b["wall_s"]) / (hi_c / lo_c), 3)
+                for a, b in zip(sim[lo_c], sim[hi_c])
+                if a["batch_index"] == b["batch_index"] and a["batch_index"] >= 1
+            ]
     finally:
         # a worker dying mid-protocol must not leak its sibling's warm JVM
         # or the RAM-backed /dev/shm replay tables
@@ -1034,7 +1036,8 @@ def main() -> None:
         if should_retry_full(cands, full_effs):
             try:
                 retry = run_scaling(wal, reps=2, min_valid_ratios=6,
-                                    max_replays=4, budget_s=700.0)
+                                    max_replays=4, budget_s=700.0,
+                                    sim_block=False)
                 result["cdc_replay"]["full_replay_retry"] = retry
                 cands.append(retry["scaling_efficiency"])
                 full_effs.append(retry["scaling_efficiency"])
